@@ -1,0 +1,28 @@
+"""RL agents: actor-critic networks, GAE, and the PPO trainer."""
+
+from .gae import gae_advantages
+from .networks import ActorCritic, MLP
+from .ppo import (
+    PPOTrainState,
+    Rollout,
+    evaluate,
+    make_eval_fn,
+    make_train_step,
+    ppo_init,
+    ppo_update,
+    rollout_batch,
+)
+
+__all__ = [
+    "ActorCritic",
+    "MLP",
+    "PPOTrainState",
+    "Rollout",
+    "evaluate",
+    "gae_advantages",
+    "make_eval_fn",
+    "make_train_step",
+    "ppo_init",
+    "ppo_update",
+    "rollout_batch",
+]

@@ -1,0 +1,318 @@
+"""PPO trainer for the state controller — one compiled program per update.
+
+Capability match for the reference's PPO
+(reference: environment/controller/ppo.py:96-209 + the worker/main loop
+:211-430), re-designed TPU-first:
+
+  * The reference collects ~5000 steps/update with 2 multiprocessing workers
+    that pickle the whole PPO object each round (ppo.py:359,369). Here the
+    rollout is ``vmap`` over `num_envs` quadrotors x ``lax.scan`` over
+    `rollout_steps`, fused with the K-epoch minibatched update into a single
+    jitted `train_step` — zero host<->device traffic inside an update.
+  * policy/policy_old bookkeeping (ppo.py:104-109,209) collapses: rollouts
+    store logprobs under the sampling parameters, which *are* the "old"
+    policy; the updated params take over at the next rollout. Semantics are
+    identical (stale-free on-policy data).
+  * Episode streams auto-reset inside the batch; GAE handles truncation with
+    a bootstrap value (see gae.py) and per-step masks, replacing the
+    reference's collect-until-done worker loop (ppo.py:233-266).
+
+Loss (reference ppo.py:172-206): clipped surrogate on the joint (summed)
+log-prob ratio, 0.5*MSE value loss against GAE returns, entropy bonus
+``-coef * sum(entropy)``, Adam.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import EnvConfig, PPOConfig, TrainConfig
+from ..envs import hover
+from .gae import gae_advantages
+from .networks import ActorCritic, DiagGaussian
+
+
+class Rollout(NamedTuple):
+    """On-policy experience, time-major (T, B, ...)."""
+
+    obs: jnp.ndarray       # (T, B, obs_dim)
+    actions: jnp.ndarray   # (T, B, 4)
+    logprobs: jnp.ndarray  # (T, B, 4) per-dimension
+    values: jnp.ndarray    # (T, B)
+    rewards: jnp.ndarray   # (T, B)
+    dones: jnp.ndarray     # (T, B)
+    solved: jnp.ndarray    # (T, B)
+
+
+@struct.dataclass
+class PPOTrainState:
+    params: dict
+    opt_state: optax.OptState
+    env_states: hover.EnvState   # batched (B, ...)
+    key: jax.Array
+    update_i: jnp.ndarray        # () int32
+
+
+def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    tx = optax.adam(cfg.lr, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    if cfg.max_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+    return tx
+
+
+def ppo_init(
+    key: jax.Array,
+    env_cfg: EnvConfig,
+    ppo_cfg: PPOConfig,
+    train_cfg: TrainConfig,
+    obs_dim: int = 75,
+) -> tuple[ActorCritic, optax.GradientTransformation, PPOTrainState]:
+    """Build the model, optimizer, and initial train state with a batch of
+    freshly reset envs."""
+    model = ActorCritic(
+        hidden=train_cfg.network_size,
+        action_std=ppo_cfg.action_std,
+        learn_std=ppo_cfg.learn_std,
+    )
+    k_model, k_envs, k_state = jax.random.split(key, 3)
+    params = model.init(k_model, jnp.zeros((1, obs_dim)))
+    tx = make_optimizer(ppo_cfg)
+    opt_state = tx.init(params)
+    env_keys = jax.random.split(k_envs, train_cfg.num_envs)
+    env_states = jax.vmap(lambda k: hover.reset(k, env_cfg))(env_keys)
+    return model, tx, PPOTrainState(
+        params=params,
+        opt_state=opt_state,
+        env_states=env_states,
+        key=k_state,
+        update_i=jnp.zeros((), jnp.int32),
+    )
+
+
+def rollout_batch(
+    model: ActorCritic,
+    params,
+    env_states: hover.EnvState,
+    key: jax.Array,
+    env_cfg: EnvConfig,
+    steps: int,
+) -> tuple[hover.EnvState, Rollout, jnp.ndarray]:
+    """Collect `steps` transitions from every env in the batch.
+
+    Returns (new_env_states, rollout, bootstrap_values). The observation the
+    policy acts on is the env's history window *before* the step — the same
+    (state_t, action_{t-1}) pairing the reference's `dl_input` produces
+    (ppo.py:240). One deliberate divergence: the reference never resets its
+    featurizer window between episodes (the `aux_dl.reset()` at ppo.py:236
+    is commented out), leaking the previous episode's tail into the first
+    observations; our window is zeroed at reset.
+    """
+
+    def body(carry, step_key):
+        states = carry
+        obs = states.hist
+        mean, value, log_std = model.apply(params, obs)
+        dist = DiagGaussian(mean, log_std)
+        action = dist.sample(step_key)
+        logprob = dist.log_prob(action)
+        states, out = jax.vmap(lambda s, a: hover.step_autoreset(s, a, env_cfg))(
+            states, action
+        )
+        return states, Rollout(
+            obs=obs,
+            actions=action,
+            logprobs=logprob,
+            values=value,
+            rewards=out.reward,
+            dones=out.done,
+            solved=out.solved,
+        )
+
+    keys = jax.random.split(key, steps)
+    env_states, roll = jax.lax.scan(body, env_states, keys)
+    _, bootstrap, _ = model.apply(params, env_states.hist)
+    return env_states, roll, bootstrap
+
+
+def ppo_loss(
+    model: ActorCritic,
+    params,
+    obs: jnp.ndarray,
+    actions: jnp.ndarray,
+    old_logprobs: jnp.ndarray,
+    returns: jnp.ndarray,
+    advantages: jnp.ndarray,
+    cfg: PPOConfig,
+) -> tuple[jnp.ndarray, dict]:
+    """Clipped-surrogate PPO loss (reference ppo.py:186-203)."""
+    mean, values, log_std = model.apply(params, obs)
+    dist = DiagGaussian(mean, log_std)
+    logprobs = dist.log_prob(actions)
+    ratios = jnp.exp(jnp.sum(logprobs, -1) - jnp.sum(old_logprobs, -1))
+    surr1 = ratios * advantages
+    surr2 = jnp.clip(ratios, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * advantages
+    actor_loss = -jnp.minimum(surr1, surr2)
+    critic_loss = 0.5 * jnp.mean((values - returns) ** 2)
+    entropy = jnp.sum(dist.entropy(), -1)
+    loss = jnp.mean(actor_loss) + critic_loss - cfg.entropy_coef * jnp.mean(entropy)
+    metrics = {
+        "actor_loss": jnp.mean(actor_loss),
+        "critic_loss": critic_loss,
+        "entropy": jnp.mean(entropy),
+        "ratio_max": jnp.max(ratios),
+    }
+    return loss, metrics
+
+
+def ppo_update(
+    model: ActorCritic,
+    tx: optax.GradientTransformation,
+    params,
+    opt_state,
+    roll: Rollout,
+    bootstrap: jnp.ndarray,
+    key: jax.Array,
+    cfg: PPOConfig,
+    grad_reduce: Callable[[jax.Array], jax.Array] | None = None,
+) -> tuple[dict, optax.OptState, dict]:
+    """K-epoch minibatched PPO update (reference ppo.py:172-209).
+
+    `grad_reduce` hooks in the cross-device mean (psum over the data-parallel
+    mesh axis) — identity when running single-chip.
+    """
+    returns, advantages = gae_advantages(
+        roll.rewards, roll.values, roll.dones, bootstrap, cfg.gamma, cfg.gae_lambda
+    )
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    obs, actions, old_lp = flat(roll.obs), flat(roll.actions), flat(roll.logprobs)
+    rets, advs = flat(returns), flat(advantages)
+    n = obs.shape[0]
+    mb = cfg.minibatch_size if cfg.minibatch_size > 0 else n
+    n_mb = max(n // mb, 1)
+
+    def epoch(carry, epoch_key):
+        params, opt_state = carry
+        perm = jax.random.permutation(epoch_key, n)
+
+        def minibatch(carry, idx):
+            params, opt_state = carry
+            batch = lambda x: jnp.take(x, idx, axis=0)
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: ppo_loss(
+                    model, p, batch(obs), batch(actions), batch(old_lp),
+                    batch(rets), batch(advs), cfg,
+                ),
+                has_aux=True,
+            )(params)
+            if grad_reduce is not None:
+                grads = grad_reduce(grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, metrics)
+
+        idxs = perm[: n_mb * mb].reshape(n_mb, mb)
+        (params, opt_state), (losses, metrics) = jax.lax.scan(
+            minibatch, (params, opt_state), idxs
+        )
+        return (params, opt_state), (jnp.mean(losses), jax.tree.map(jnp.mean, metrics))
+
+    keys = jax.random.split(key, cfg.k_epochs)
+    (params, opt_state), (losses, metrics) = jax.lax.scan(epoch, (params, opt_state), keys)
+    metrics = jax.tree.map(jnp.mean, metrics)
+    metrics["loss"] = jnp.mean(losses)
+    return params, opt_state, metrics
+
+
+def make_train_step(
+    model: ActorCritic,
+    tx: optax.GradientTransformation,
+    env_cfg: EnvConfig,
+    ppo_cfg: PPOConfig,
+    train_cfg: TrainConfig,
+    grad_reduce: Callable | None = None,
+    metric_reduce: Callable | None = None,
+):
+    """Build the fused rollout+update step (jit it, or shard_map it for
+    multi-chip — see parallel/)."""
+
+    def train_step(state: PPOTrainState) -> tuple[PPOTrainState, dict]:
+        key, k_roll, k_upd = jax.random.split(state.key, 3)
+        env_states, roll, bootstrap = rollout_batch(
+            model, state.params, state.env_states, k_roll, env_cfg, train_cfg.rollout_steps
+        )
+        params, opt_state, metrics = ppo_update(
+            model, tx, state.params, state.opt_state, roll, bootstrap, k_upd,
+            ppo_cfg, grad_reduce,
+        )
+        done_f = roll.dones.astype(jnp.float32)
+        metrics["reward_per_step"] = jnp.mean(roll.rewards)
+        metrics["episodes"] = jnp.sum(done_f)
+        metrics["solved_frac"] = jnp.sum(roll.solved.astype(jnp.float32)) / jnp.maximum(
+            jnp.sum(done_f), 1.0
+        )
+        if metric_reduce is not None:
+            metrics = metric_reduce(metrics)
+        return (
+            PPOTrainState(
+                params=params,
+                opt_state=opt_state,
+                env_states=env_states,
+                key=key,
+                update_i=state.update_i + 1,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_fn(model: ActorCritic, env_cfg: EnvConfig, episodes: int, max_steps: int | None = None):
+    """Deterministic evaluation: `episodes` parallel envs flown with the
+    actor mean (reference `evaluate` ppo.py:272-295 + worker eval branch
+    :243-245), reporting mean reward, mean length, and solved fraction."""
+    max_steps = max_steps or env_cfg.max_steps
+
+    def eval_fn(params, key: jax.Array):
+        keys = jax.random.split(key, episodes)
+        env_states = jax.vmap(lambda k: hover.reset(k, env_cfg))(keys)
+
+        def body(carry, _):
+            states, finished, reward_sum, solved, length = carry
+            mean, _v, _s = model.apply(params, states.hist)
+            states, out = jax.vmap(lambda s, a: hover.step(s, a, env_cfg))(states, mean)
+            active = ~finished
+            reward_sum = reward_sum + out.reward * active
+            solved = jnp.logical_or(solved, jnp.logical_and(out.solved, active))
+            length = length + active.astype(jnp.int32)
+            finished = jnp.logical_or(finished, out.done)
+            return (states, finished, reward_sum, solved, length), None
+
+        b = episodes
+        init = (
+            env_states,
+            jnp.zeros(b, bool),
+            jnp.zeros(b, jnp.float32),
+            jnp.zeros(b, bool),
+            jnp.zeros(b, jnp.int32),
+        )
+        (states, finished, reward_sum, solved, length), _ = jax.lax.scan(
+            body, init, None, length=max_steps
+        )
+        return {
+            "eval_reward": jnp.mean(reward_sum),
+            "eval_length": jnp.mean(length.astype(jnp.float32)),
+            "eval_solved": jnp.mean(solved.astype(jnp.float32)),
+        }
+
+    return eval_fn
+
+
+def evaluate(model, params, env_cfg: EnvConfig, episodes: int, key: jax.Array) -> dict:
+    """Convenience one-shot (jitted) evaluation."""
+    fn = jax.jit(make_eval_fn(model, env_cfg, episodes))
+    return {k: float(v) for k, v in fn(params, key).items()}

@@ -1,0 +1,15 @@
+"""Device-mesh parallelism: data-parallel PPO over ICI/DCN.
+
+TPU-native replacement for the reference's two parallelism mechanisms
+(SURVEY.md §2): the `multiprocessing.Pool` rollout workers
+(reference ppo.py:44,359-369) and the mother/child file-IPC protocol
+(reference visual_landing/rl_worker.py:267-342). Both were synchronous
+on-policy data-parallel experience collection with post-update parameter
+broadcast — here that is a `shard_map` over a `Mesh` axis: env batches shard
+across chips, gradients `pmean` over ICI, and the "broadcast" is the
+replicated parameter sharding (no files, no pickling, no polling).
+"""
+
+from .dp import make_dp_mesh, make_parallel_train_step, ppo_init_sharded
+
+__all__ = ["make_dp_mesh", "make_parallel_train_step", "ppo_init_sharded"]

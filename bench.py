@@ -1,0 +1,68 @@
+"""End-to-end PPO training throughput benchmark.
+
+Measures env-steps/second of the fused rollout+update train step on the
+default device (TPU under the driver; CPU elsewhere) and compares against
+the reference's end-to-end CPU training throughput of ~300 env-steps/s
+(BASELINE.md: 14.22M steps in 47,809 s with 2 multiprocessing workers,
+training_log/log_128_32000….csv final row).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+BASELINE_STEPS_PER_S = 300.0  # reference end-to-end (BASELINE.md)
+
+
+def main() -> None:
+    from autonomous_quadrotor_environment_tpu.agents import make_train_step, ppo_init
+    from autonomous_quadrotor_environment_tpu.config import EnvConfig, PPOConfig, TrainConfig
+
+    platform = jax.devices()[0].platform
+    # Reference-equivalent training shape: 1000-step episodes, K=10 epochs,
+    # N=128 network, ~5k steps per update scaled up to fill the chip.
+    if platform == "tpu":
+        num_envs, rollout_steps = 4096, 128
+    else:
+        num_envs, rollout_steps = 256, 64
+
+    env_cfg = EnvConfig(n_steps=1000)
+    ppo_cfg = PPOConfig(k_epochs=10, minibatch_size=0)
+    train_cfg = TrainConfig(
+        num_envs=num_envs, rollout_steps=rollout_steps, network_size=128
+    )
+    model, tx, state = ppo_init(jax.random.PRNGKey(0), env_cfg, ppo_cfg, train_cfg)
+    train_step = jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
+
+    # Warmup/compile.
+    state, metrics = train_step(state)
+    jax.block_until_ready(metrics)
+
+    n_iters = 10 if platform == "tpu" else 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = train_step(state)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    steps = n_iters * num_envs * rollout_steps
+    steps_per_s = steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ppo_train_env_steps_per_s",
+                "value": round(steps_per_s, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
