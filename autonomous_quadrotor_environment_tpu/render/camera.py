@@ -61,12 +61,13 @@ def make_camera(cfg: CameraConfig | None = None) -> CameraModel:
 
 
 def nadir_rotation(dtype=jnp.float32) -> jnp.ndarray:
-    """World->camera rotation for the fixed nadir camera: camera x = world x,
-    camera y = world y, camera z (forward) = -world z. (Right-handed: this
-    mirrors the v axis relative to a +z-forward frame, matching the rendered
-    image orientation after the reference's vertical flip, img_2_cv.py:29.)"""
+    """World->camera rotation for the fixed nadir camera: a proper SO(3)
+    rotation (pi about world x): camera x = world x, camera y = -world y,
+    camera z (forward) = -world z. Image +u = +world x, +v = -world y.
+    (The reference's vertical flip of the GL buffer, img_2_cv.py:29, plays
+    the same convention-fixing role.)"""
     return jnp.asarray(
-        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, -1.0]], dtype
+        [[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]], dtype
     )
 
 
