@@ -69,23 +69,34 @@ class ActorCritic(nn.Module):
     learn_std: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, obs):
-        mean = MLP(
+    def setup(self):
+        self.actor = MLP(
             (self.hidden, self.hidden),
             self.act_dim,
             out_tanh=True,
             out_scale=0.01,
             dtype=self.dtype,
-        )(obs)
-        value = MLP(
+        )
+        self.critic = MLP(
             (self.hidden, self.hidden), 1, out_tanh=False, out_scale=1.0, dtype=self.dtype
-        )(obs)
+        )
         if self.learn_std:
-            log_std = self.param(
+            self._log_std = self.param(
                 "log_std",
                 lambda _key: jnp.full((), math.log(self.action_std), self.dtype),
             )
+
+    def actor_mean(self, obs):
+        """Deterministic policy output — the frozen low-level controller's
+        forward inside the landing env (reference rl_worker.py:408:
+        CRTL_POLICY.actor(...))."""
+        return self.actor(obs)
+
+    def __call__(self, obs):
+        mean = self.actor(obs)
+        value = self.critic(obs)
+        if self.learn_std:
+            log_std = self._log_std
         else:
             log_std = jnp.asarray(math.log(self.action_std), self.dtype)
         return mean, jnp.squeeze(value, -1), log_std

@@ -1,0 +1,91 @@
+"""Landing CNN actor-critic.
+
+Capability match for the reference's `rl_nn_model_v2`
+(reference: visual_landing/rl_nn_model_v2.py:62-246):
+
+  conv trunk: 3->64 k8 s4, 64->128 k4 s2, 128->128 k3 s1 (all VALID, tanh),
+              flatten 128*7*7 -> fc 768 tanh                     (:67-96)
+  actor:  concat(conv(image), sens 75) -> fc 768 tanh -> fc 3 tanh (:130-150)
+  critic: concat(conv(image), sens, action 3) -> fc 768 tanh -> fc 1
+          (action-conditioned, Q-like)                            (:152-182)
+  shared learned scalar std, diagonal Gaussian (MultivariateNormal with
+  cov = std^2 I => joint log-prob)                                (:216-221)
+
+TPU-first: NHWC layout (flax default — feeds the conv MXU path directly),
+bfloat16-capable compute dtype, separate conv trunks for actor and critic
+like the reference (conv_ac / conv_ct).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvTrunk(nn.Module):
+    """84x84x3 -> 768 feature vector (reference conv_forward :62-96)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):  # (..., 84, 84, 3)
+        kw = dict(
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=nn.initializers.orthogonal(math.sqrt(2.0)),
+        )
+        x = jnp.tanh(nn.Conv(64, (8, 8), strides=(4, 4), **kw)(img))
+        x = jnp.tanh(nn.Conv(128, (4, 4), strides=(2, 2), **kw)(x))
+        x = jnp.tanh(nn.Conv(128, (3, 3), strides=(1, 1), **kw)(x))
+        x = x.reshape(x.shape[:-3] + (-1,))  # 7*7*128
+        x = jnp.tanh(
+            nn.Dense(
+                768, dtype=self.dtype, kernel_init=nn.initializers.orthogonal(math.sqrt(2.0))
+            )(x)
+        )
+        return x
+
+
+class LandingActorCritic(nn.Module):
+    """(image, sens) -> (action mean (3,), q-value, log_std)."""
+
+    action_std: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.conv_ac = ConvTrunk(dtype=self.dtype)
+        self.conv_ct = ConvTrunk(dtype=self.dtype)
+        self.actor_fc1 = nn.Dense(
+            768, dtype=self.dtype, kernel_init=nn.initializers.orthogonal(math.sqrt(2.0))
+        )
+        self.actor_out = nn.Dense(
+            3, dtype=self.dtype, kernel_init=nn.initializers.orthogonal(0.01)
+        )
+        self.critic_fc1 = nn.Dense(
+            768, dtype=self.dtype, kernel_init=nn.initializers.orthogonal(math.sqrt(2.0))
+        )
+        self.critic_out = nn.Dense(
+            1, dtype=self.dtype, kernel_init=nn.initializers.orthogonal(1.0)
+        )
+        self.log_std = self.param(
+            "log_std", lambda _k: jnp.full((), math.log(self.action_std), self.dtype)
+        )
+
+    def actor(self, image, sens):
+        x = self.conv_ac(image)
+        x = jnp.concatenate([x, sens], axis=-1)
+        x = jnp.tanh(self.actor_fc1(x))
+        return jnp.tanh(self.actor_out(x))
+
+    def critic(self, image, sens, action):
+        x = self.conv_ct(image)
+        x = jnp.concatenate([x, sens, action], axis=-1)
+        x = jnp.tanh(self.critic_fc1(x))
+        return jnp.squeeze(self.critic_out(x), -1)
+
+    def __call__(self, image, sens, action=None):
+        mean = self.actor(image, sens)
+        value = self.critic(image, sens, mean if action is None else action)
+        return mean, value, self.log_std

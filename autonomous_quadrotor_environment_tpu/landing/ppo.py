@@ -1,0 +1,280 @@
+"""PPO trainer for the visual-landing CNN policy — one compiled program.
+
+Capability match for the reference's landing PPO
+(reference: visual_landing/ppo_trainer.py:28-204 + the mother/child data
+collection rl_worker.py:267-342): lr 2e-5, K=5 epochs, minibatch 1536,
+clipped surrogate on the joint MultivariateNormal log-prob (:216-231),
+action-conditioned critic regressed on GAE returns, entropy coef 0.01,
+learned scalar std. The mother/children file-IPC batch assembly becomes a
+`vmap` over parallel landing envs inside a scanned rollout; data parallelism
+over chips reuses parallel/dp.py's shard_map pattern via `grad_reduce`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..agents.gae import gae_advantages
+from ..config import PPOConfig
+from .env import LandingConfigs, LandingObs, landing_reset, landing_step, landing_step_autoreset
+from .networks import LandingActorCritic
+
+
+class LandingRollout(NamedTuple):
+    images: jnp.ndarray    # (T, B, 84, 84, 3)
+    sens: jnp.ndarray      # (T, B, 75)
+    actions: jnp.ndarray   # (T, B, 3)
+    logprobs: jnp.ndarray  # (T, B) joint log-prob
+    values: jnp.ndarray    # (T, B)
+    rewards: jnp.ndarray   # (T, B)
+    dones: jnp.ndarray     # (T, B)
+    solved: jnp.ndarray    # (T, B)
+
+
+@struct.dataclass
+class LandingTrainState:
+    params: Any
+    opt_state: optax.OptState
+    env_states: Any               # batched LandingState
+    obs: LandingObs               # batched current observation
+    key: jax.Array
+    update_i: jnp.ndarray
+
+
+def landing_ppo_init(
+    key: jax.Array,
+    cfgs: LandingConfigs,
+    ppo_cfg: PPOConfig,
+    num_envs: int,
+    ctrl_model: Any,
+    ctrl_params: Any,
+):
+    model = LandingActorCritic(action_std=ppo_cfg.action_std)
+    k_model, k_envs, k_state = jax.random.split(key, 3)
+    params = model.init(
+        k_model, jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)), jnp.zeros((1, 3))
+    )
+    tx = optax.adam(ppo_cfg.lr, b1=ppo_cfg.adam_b1, b2=ppo_cfg.adam_b2)
+    opt_state = tx.init(params)
+    env_keys = jax.random.split(k_envs, num_envs)
+    env_states, obs = jax.vmap(
+        lambda k: landing_reset(k, cfgs, ctrl_model, ctrl_params)
+    )(env_keys)
+    return model, tx, LandingTrainState(
+        params=params,
+        opt_state=opt_state,
+        env_states=env_states,
+        obs=obs,
+        key=k_state,
+        update_i=jnp.zeros((), jnp.int32),
+    )
+
+
+def _dist_logprob(mean, log_std, action):
+    """Joint diagonal-Gaussian log-prob (reference MultivariateNormal with
+    cov = std^2 I, rl_nn_model_v2.py:216-221)."""
+    std = jnp.exp(log_std)
+    z = (action - mean) / std
+    per_dim = -0.5 * z**2 - log_std - 0.5 * math.log(2.0 * math.pi)
+    return jnp.sum(per_dim, axis=-1)
+
+
+def _dist_entropy(log_std, dim=3):
+    return dim * (0.5 + 0.5 * math.log(2.0 * math.pi) + log_std)
+
+
+def landing_rollout(
+    model, params, env_states, obs: LandingObs, key, cfgs: LandingConfigs,
+    ctrl_model, ctrl_params, steps: int,
+):
+    """Collect `steps` decisions from every env (autoreset)."""
+
+    def body(carry, step_key):
+        env_states, obs = carry
+        mean = model.apply(params, obs.image, obs.control_in, method="actor")
+        log_std = params["params"]["log_std"]
+        action = mean + jnp.exp(log_std) * jax.random.normal(
+            step_key, mean.shape, mean.dtype
+        )
+        logprob = _dist_logprob(mean, log_std, action)
+        value = model.apply(params, obs.image, obs.control_in, action, method="critic")
+        env_states, out = jax.vmap(
+            lambda s, a: landing_step_autoreset(s, a, cfgs, ctrl_model, ctrl_params)
+        )(env_states, action)
+        roll = LandingRollout(
+            images=obs.image,
+            sens=obs.control_in,
+            actions=action,
+            logprobs=logprob,
+            values=value,
+            rewards=out.reward,
+            dones=out.done,
+            solved=out.solved,
+        )
+        return (env_states, out.obs), roll
+
+    keys = jax.random.split(key, steps)
+    (env_states, obs), roll = jax.lax.scan(body, (env_states, obs), keys)
+    # Bootstrap: critic at the next observation with the deterministic action.
+    mean = model.apply(params, obs.image, obs.control_in, method="actor")
+    bootstrap = model.apply(params, obs.image, obs.control_in, mean, method="critic")
+    return env_states, obs, roll, bootstrap
+
+
+def landing_loss(model, params, images, sens, actions, old_lp, returns, advs, cfg: PPOConfig):
+    mean = model.apply(params, images, sens, method="actor")
+    log_std = params["params"]["log_std"]
+    value = model.apply(params, images, sens, actions, method="critic")
+    logprob = _dist_logprob(mean, log_std, actions)
+    ratios = jnp.exp(logprob - old_lp)
+    surr1 = ratios * advs
+    surr2 = jnp.clip(ratios, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * advs
+    actor_loss = -jnp.minimum(surr1, surr2)
+    critic_loss = 0.5 * jnp.mean((value - returns) ** 2)
+    entropy = _dist_entropy(log_std)
+    loss = jnp.mean(actor_loss) + critic_loss - cfg.entropy_coef * entropy
+    return loss, {
+        "actor_loss": jnp.mean(actor_loss),
+        "critic_loss": critic_loss,
+        "entropy": entropy,
+    }
+
+
+def make_landing_train_step(
+    model,
+    tx,
+    cfgs: LandingConfigs,
+    ppo_cfg: PPOConfig,
+    ctrl_model,
+    ctrl_params,
+    rollout_steps: int,
+    grad_reduce: Callable | None = None,
+    metric_reduce: Callable | None = None,
+):
+    def train_step(state: LandingTrainState):
+        key, k_roll, k_upd = jax.random.split(state.key, 3)
+        env_states, obs, roll, bootstrap = landing_rollout(
+            model, state.params, state.env_states, state.obs, k_roll, cfgs,
+            ctrl_model, ctrl_params, rollout_steps,
+        )
+        returns, advs = gae_advantages(
+            roll.rewards, roll.values, roll.dones, bootstrap,
+            ppo_cfg.gamma, ppo_cfg.gae_lambda,
+        )
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        images, sens = flat(roll.images), flat(roll.sens)
+        actions, old_lp = flat(roll.actions), flat(roll.logprobs)
+        rets, adv = flat(returns), flat(advs)
+        n = images.shape[0]
+        mb = ppo_cfg.minibatch_size if ppo_cfg.minibatch_size > 0 else n
+        mb = min(mb, n)
+        n_mb = max(n // mb, 1)
+
+        def epoch(carry, epoch_key):
+            params, opt_state = carry
+            perm = jax.random.permutation(epoch_key, n)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                take = lambda x: jnp.take(x, idx, axis=0)
+                (loss, metrics), grads = jax.value_and_grad(
+                    lambda p: landing_loss(
+                        model, p, take(images), take(sens), take(actions),
+                        take(old_lp), take(rets), take(adv), ppo_cfg,
+                    ),
+                    has_aux=True,
+                )(params)
+                if grad_reduce is not None:
+                    grads = grad_reduce(grads)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, metrics)
+
+            idxs = perm[: n_mb * mb].reshape(n_mb, mb)
+            (params, opt_state), (losses, metrics) = jax.lax.scan(
+                minibatch, (params, opt_state), idxs
+            )
+            return (params, opt_state), (jnp.mean(losses), jax.tree.map(jnp.mean, metrics))
+
+        keys = jax.random.split(k_upd, ppo_cfg.k_epochs)
+        (params, opt_state), (losses, metrics) = jax.lax.scan(
+            epoch, (state.params, state.opt_state), keys
+        )
+        metrics = jax.tree.map(jnp.mean, metrics)
+        metrics["loss"] = jnp.mean(losses)
+        done_f = roll.dones.astype(jnp.float32)
+        metrics["reward_per_decision"] = jnp.mean(roll.rewards)
+        metrics["episodes"] = jnp.sum(done_f)
+        metrics["solved_frac"] = jnp.sum(roll.solved.astype(jnp.float32)) / jnp.maximum(
+            jnp.sum(done_f), 1.0
+        )
+        if metric_reduce is not None:
+            metrics = metric_reduce(metrics)
+        return (
+            LandingTrainState(
+                params=params, opt_state=opt_state, env_states=env_states,
+                obs=obs, key=key, update_i=state.update_i + 1,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_landing_eval_fn(
+    model, cfgs: LandingConfigs, ctrl_model, ctrl_params, episodes: int,
+    max_decisions: int | None = None,
+):
+    """The 100-episode landing benchmark (reference rl_eval_worker.py:43,
+    :350-354): deterministic policy, per-episode reward / solved / time."""
+    lcfg = cfgs.landing
+    max_decisions = max_decisions or (lcfg.total_steps // lcfg.task_interval + 2)
+
+    def eval_fn(params, key):
+        keys = jax.random.split(key, episodes)
+        env_states, obs = jax.vmap(
+            lambda k: landing_reset(k, cfgs, ctrl_model, ctrl_params)
+        )(keys)
+
+        def body(carry, _):
+            env_states, obs, finished, reward_sum, solved, decisions = carry
+            mean = model.apply(params, obs.image, obs.control_in, method="actor")
+            env_states, out = jax.vmap(
+                lambda s, a: landing_step(s, a, cfgs, ctrl_model, ctrl_params)
+            )(env_states, mean)
+            active = ~finished
+            reward_sum = reward_sum + out.reward * active
+            solved = jnp.logical_or(solved, jnp.logical_and(out.solved, active))
+            decisions = decisions + active.astype(jnp.int32)
+            finished = jnp.logical_or(finished, out.done)
+            return (env_states, out.obs, finished, reward_sum, solved, decisions), None
+
+        b = episodes
+        init = (
+            env_states, obs, jnp.zeros(b, bool), jnp.zeros(b, jnp.float32),
+            jnp.zeros(b, bool), jnp.zeros(b, jnp.int32),
+        )
+        (env_states, obs, finished, reward_sum, solved, decisions), _ = jax.lax.scan(
+            body, init, None, length=max_decisions
+        )
+        return {
+            "eval_reward": jnp.mean(reward_sum),
+            "eval_solved": jnp.mean(solved.astype(jnp.float32)),
+            "eval_time_s": jnp.mean(
+                decisions.astype(jnp.float32) * lcfg.task_interval * 0.01
+            ),
+            "eval_finished": jnp.mean(finished.astype(jnp.float32)),
+        }
+
+    return eval_fn
+
+
+def landing_eval(model, params, cfgs, ctrl_model, ctrl_params, episodes, key):
+    fn = jax.jit(make_landing_eval_fn(model, cfgs, ctrl_model, ctrl_params, episodes))
+    return {k: float(v) for k, v in fn(params, key).items()}

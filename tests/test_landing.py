@@ -1,0 +1,170 @@
+"""Visual-landing stack: reward taxonomy table tests (SURVEY.md §4),
+hierarchical env mechanics, and a smoke train/eval pass with an untrained
+frozen controller."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autonomous_quadrotor_environment_tpu.agents.networks import ActorCritic
+from autonomous_quadrotor_environment_tpu.config import PPOConfig
+from autonomous_quadrotor_environment_tpu.landing import (
+    LandingActorCritic,
+    landing_ppo_init,
+    landing_reset,
+    landing_step,
+    make_landing_eval_fn,
+    make_landing_train_step,
+    visual_reward,
+)
+from autonomous_quadrotor_environment_tpu.landing.env import LandingConfigs
+
+CFGS = LandingConfigs.default(training=True)
+
+
+def _ctrl():
+    model = ActorCritic(hidden=16)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
+    return model, params
+
+
+def _rew(quad_pos, quad_vel=(0, 0, 0), ang=(0, 0, 0), v_ang=(0, 0, 0), step=100,
+         marker=(0.0, 0.0, 0.001), control=(0, 0, 0), last_shaping=0.0, has=True):
+    return visual_reward(
+        1500,
+        jnp.asarray(marker, jnp.float32),
+        jnp.asarray(quad_pos, jnp.float32),
+        jnp.asarray(quad_vel, jnp.float32),
+        jnp.asarray(control, jnp.float32),
+        jnp.asarray(last_shaping, jnp.float32),
+        jnp.asarray(has),
+        jnp.asarray(step, jnp.int32),
+        jnp.asarray(ang, jnp.float32),
+        jnp.asarray(v_ang, jnp.float32),
+    )
+
+
+def test_reward_terminal_taxonomy():
+    """The landing-quality table (reference rl_reward_fuction.py:61-96)."""
+    # perfect landing: on marker, slow, flat -> +5, solved
+    out = _rew([0.0, 0.0, -4.96], quad_vel=[0.05, 0, -0.1])
+    assert float(out.reward) == 5.0 and bool(out.solved) and bool(out.done)
+    # soft+flat but off target -> +1
+    out = _rew([0.5, 0.0, -4.96], quad_vel=[0.05, 0, -0.1])
+    assert float(out.reward) == 1.0 and not bool(out.solved) and bool(out.done)
+    # soft but tilted -> 0
+    out = _rew([0.0, 0.0, -4.96], quad_vel=[0.05, 0, -0.1], ang=[0.4, 0.4, 0])
+    assert float(out.reward) == 0.0 and bool(out.done)
+    # hard landing -> -1
+    out = _rew([0.0, 0.0, -4.96], quad_vel=[0, 0, -2.0])
+    assert float(out.reward) == -1.0 and bool(out.done)
+    # astray (cone exit) -> -5
+    out = _rew([3.0, 0.0, -2.0])
+    assert float(out.reward) == -5.0 and bool(out.done)
+    # timeout -> -2
+    out = _rew([0.0, 0.0, -2.0], step=1501)
+    assert float(out.reward) == -2.0 and bool(out.done)
+    # in flight: shaping delta minus control penalty
+    out1 = _rew([0.0, 0.0, -2.0], last_shaping=-10.0, control=[1.0, 0, 0])
+    expected_shaping = -4.0 * (0 * 2 + abs(-4.999 - (-2.0)))
+    np.testing.assert_allclose(float(out1.shaping), expected_shaping, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(out1.reward), expected_shaping - (-10.0) - 0.1 * 1.0, rtol=1e-4
+    )
+    assert not bool(out1.done)
+
+
+def test_reward_first_step_has_no_shaping_delta():
+    out = _rew([0.0, 0.0, -2.0], has=False, control=[0.5, 0, 0])
+    np.testing.assert_allclose(float(out.reward), -0.1 * 0.5, rtol=1e-5)
+
+
+def test_landing_reset_geometry():
+    model, params = _ctrl()
+    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+    states, obs = jax.vmap(lambda k: landing_reset(k, CFGS, model, params))(keys)
+    z = np.asarray(states.env.x[:, 4])
+    # start altitude in (-4, 1] minus a few warmup frames of drift
+    assert z.min() > -4.6 and z.max() < 1.5
+    # cone constraint: |xy - marker| <= |(-5 - z)|/7*4 * sqrt(2)/2 at reset
+    xy = np.asarray(states.env.x[:, 0:5:2])[:, 0:2]
+    marker = np.asarray(states.marker_world)[:, 0:2]
+    spread = np.abs(-5.0 - z) / 7.0 * 4.0
+    d = np.abs(xy - marker).max(-1)
+    assert (d <= spread * 0.75 + 0.3).all()
+    # marker spread ~ N(0, 0.8)
+    assert 0.4 < np.std(marker) < 1.2
+    assert obs.image.shape == (64, 84, 84, 3)
+    assert obs.control_in.shape == (64, 75)
+    # warm-up interval ran: 10 internal frames + shaping initialized
+    assert (np.asarray(states.internal_frame) == 10 + 0).all() or (
+        np.asarray(states.internal_frame) == 10
+    ).all()
+    assert np.asarray(states.has_shaping).all()
+
+
+def test_landing_step_advances_and_terminates():
+    """Each decision advances 10 physics frames; with an untrained frozen
+    controller the episode still terminates through the reward taxonomy
+    (astray/landed/timeout)."""
+    model, params = _ctrl()
+    state, obs = landing_reset(jax.random.PRNGKey(3), CFGS, model, params)
+    step = jax.jit(lambda s, a: landing_step(s, a, CFGS, model, params))
+    for i in range(149):
+        state, out = step(state, jnp.asarray([0.0, 0.0, -1.0]))
+        if bool(out.done):
+            break
+    assert bool(out.done), "episode should terminate"
+    assert int(state.internal_frame) == (i + 2) * 10
+    assert float(out.reward) in (-5.0, -2.0, -1.0, 0.0, 1.0, 5.0)
+
+
+def test_landing_step_landed_branch():
+    """Quad just above the marker, descending -> the landed taxonomy fires
+    within one decision interval."""
+    model, params = _ctrl()
+    state, _obs = landing_reset(jax.random.PRNGKey(4), CFGS, model, params)
+    x0 = jnp.zeros(13).at[6].set(1.0)
+    x0 = (
+        x0.at[0].set(state.marker_world[0])
+        .at[2].set(state.marker_world[1])
+        .at[4].set(-4.93)
+        .at[5].set(-0.3)
+    )
+    state = state.replace(env=state.env.replace(x=x0))
+    state, out = landing_step(state, jnp.asarray([0.0, 0.0, -1.0]), CFGS, model, params)
+    assert bool(out.done)
+    assert float(state.env.x[4]) <= -4.95
+    assert float(out.reward) in (-1.0, 0.0, 1.0, 5.0)
+    # slow flat on-target descent -> solved
+    assert bool(out.solved) and float(out.reward) == 5.0
+
+
+def test_landing_train_step_smoke():
+    model_c, params_c = _ctrl()
+    ppo_cfg = PPOConfig.landing_variant()
+    ppo_cfg = ppo_cfg.__class__(**{**ppo_cfg.__dict__, "k_epochs": 1, "minibatch_size": 8})
+    model, tx, state = landing_ppo_init(
+        jax.random.PRNGKey(0), CFGS, ppo_cfg, num_envs=2, ctrl_model=model_c,
+        ctrl_params=params_c,
+    )
+    train_step = jax.jit(
+        make_landing_train_step(model, tx, CFGS, ppo_cfg, model_c, params_c, rollout_steps=4)
+    )
+    state, metrics = train_step(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.update_i) == 1
+
+
+def test_landing_eval_smoke():
+    model_c, params_c = _ctrl()
+    model = LandingActorCritic()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)), jnp.zeros((1, 3))
+    )
+    eval_fn = jax.jit(
+        make_landing_eval_fn(model, CFGS, model_c, params_c, episodes=2, max_decisions=20)
+    )
+    out = eval_fn(params, jax.random.PRNGKey(1))
+    assert np.isfinite(float(out["eval_reward"]))
+    assert 0.0 <= float(out["eval_solved"]) <= 1.0
