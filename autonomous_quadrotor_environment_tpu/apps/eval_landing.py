@@ -1,0 +1,70 @@
+"""100-episode visual-landing benchmark + oracle baseline.
+
+Replaces the reference's `vldg_eval.py` -> rl_eval_worker 100-episode
+benchmark (reference: visual_landing/rl_eval_worker.py:43,350-354 — the
+93.5% README number) and the math_trajectory oracle printout (:157-160).
+
+Example:
+    python -m autonomous_quadrotor_environment_tpu.apps.eval_landing \
+        --controller runs/ctrl/solved/nn_solved_128_0.msgpack \
+        --policy runs/landing/PPO_landing_0.msgpack --episodes 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from ..landing import LandingActorCritic, make_landing_eval_fn
+from ..landing.env import LandingConfigs
+from ..landing.oracle import oracle_landing_eval
+from ..utils import load_params
+from .train_landing import load_controller
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--controller", type=str, required=True)
+    p.add_argument("--controller-size", type=int, default=128)
+    p.add_argument("--policy", type=str, default=None,
+                   help="landing CNN checkpoint; omit to run only the oracle")
+    p.add_argument("--episodes", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--oracle", action="store_true", help="also run the PI oracle")
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    ctrl_model, ctrl_params = load_controller(args.controller, args.controller_size)
+    cfgs = LandingConfigs.default(training=False)
+    key = jax.random.PRNGKey(args.seed)
+    results = {}
+
+    if args.policy:
+        model = LandingActorCritic()
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)),
+            jnp.zeros((1, 3)),
+        )
+        params = load_params(args.policy, template)
+        eval_fn = jax.jit(
+            make_landing_eval_fn(model, cfgs, ctrl_model, ctrl_params, args.episodes)
+        )
+        results.update({k: float(v) for k, v in eval_fn(params, key).items()})
+
+    if args.oracle or not args.policy:
+        oracle = jax.jit(
+            lambda k: oracle_landing_eval(ctrl_model, ctrl_params, cfgs, args.episodes, k)
+        )(jax.random.fold_in(key, 1))
+        results.update({k: float(v) for k, v in oracle.items()})
+
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

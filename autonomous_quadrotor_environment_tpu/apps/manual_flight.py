@@ -1,0 +1,178 @@
+"""Manual flight: human (or scripted) velocity commands through the same
+hierarchical stack the landing CNN uses.
+
+Replaces the reference's gamepad rig (reference: manual_flight.py:33-91 +
+manual_flight_add/quad_controller.py:37-229): stick commands become velocity
+errors (scale ±0.6 xy / 1.5 z, :185) tracked by the frozen low-level
+policy; episodes are scored with `visual_reward` and logged per-user as
+[Episode, Delta V, Reward, Time, Solved] CSVs that
+analysis.aggregate_pilot_logs consumes (the "~83% human pilot" baseline,
+README.md:10).
+
+Input sources:
+  --keys              terminal WASD + R/F (z), real-time paced (no gamepad
+                      dependency in this build; same command surface)
+  --script cmds.npy   (T, 3) command array — scripted/replay mode, also the
+                      CI-testable path
+Frames can be dumped through the native C++ preview renderer (--frames).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import select
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..landing.env import LandingConfigs
+from ..landing import landing_reset, landing_step
+from .train_landing import load_controller
+
+VEL_SCALE_XY = 0.6   # reference quad_controller.py:185
+VEL_SCALE_Z = 1.5
+
+
+class KeyInput:
+    """Raw-terminal WASD/R/F polling (deadzone-free digital sticks)."""
+
+    def __init__(self):
+        import termios
+        import tty
+
+        self.termios = termios
+        self.fd = sys.stdin.fileno()
+        self.old = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        self.held = np.zeros(3)
+
+    def close(self):
+        self.termios.tcsetattr(self.fd, self.termios.TCSADRAIN, self.old)
+
+    def read(self) -> np.ndarray:
+        cmd = np.zeros(3)
+        while select.select([sys.stdin], [], [], 0)[0]:
+            c = sys.stdin.read(1).lower()
+            if c == "w":
+                cmd[1] = 1
+            elif c == "s":
+                cmd[1] = -1
+            elif c == "a":
+                cmd[0] = -1
+            elif c == "d":
+                cmd[0] = 1
+            elif c == "r":
+                cmd[2] = 1
+            elif c == "f":
+                cmd[2] = -1
+            elif c == "q":
+                raise KeyboardInterrupt
+        self.held = cmd
+        return cmd
+
+
+class ScriptInput:
+    def __init__(self, path: str):
+        self.cmds = np.load(path)
+        self.i = 0
+
+    def read(self) -> np.ndarray:
+        cmd = self.cmds[min(self.i, len(self.cmds) - 1)]
+        self.i += 1
+        return np.asarray(cmd, np.float64)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--controller", type=str, required=True)
+    p.add_argument("--controller-size", type=int, default=128)
+    p.add_argument("--user", type=str, default="anon")
+    p.add_argument("--episodes", type=int, default=5)
+    p.add_argument("--keys", action="store_true")
+    p.add_argument("--script", type=str, default=None)
+    p.add_argument("--realtime", action="store_true",
+                   help="pace decisions at 10 Hz (reference manual_flight.py:76-78)")
+    p.add_argument("--frames", type=str, default=None,
+                   help="directory for native-preview PPM frames")
+    p.add_argument("--out", type=str, default="runs/manual")
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    ctrl_model, ctrl_params = load_controller(args.controller, args.controller_size)
+    cfgs = LandingConfigs.default(training=False)
+    reset_fn = jax.jit(lambda k: landing_reset(k, cfgs, ctrl_model, ctrl_params))
+    step_fn = jax.jit(lambda s, a: landing_step(s, a, cfgs, ctrl_model, ctrl_params))
+
+    source = None
+    if args.script:
+        source = ScriptInput(args.script)
+    elif args.keys:
+        source = KeyInput()
+    else:
+        raise SystemExit("need --keys or --script")
+
+    if args.frames:
+        os.makedirs(args.frames, exist_ok=True)
+        from ..native import preview_available, render_preview, save_ppm
+
+        frames_ok = preview_available()
+    else:
+        frames_ok = False
+
+    os.makedirs(args.out, exist_ok=True)
+    log_path = f"{args.out}/log_{args.user}_eval.csv"
+    new_file = not os.path.exists(log_path)
+    rows = []
+    try:
+        key = jax.random.PRNGKey(hash(args.user) % (2**31))
+        for ep in range(args.episodes):
+            state, obs = reset_fn(jax.random.fold_in(key, ep))
+            reward_sum, dv, decisions = 0.0, 0.0, 0
+            solved = False
+            decision_dt = cfgs.landing.task_interval * cfgs.env.dt
+            while True:
+                t0 = time.perf_counter()
+                cmd = source.read()
+                state, out = step_fn(state, jnp.asarray(cmd, jnp.float32))
+                reward_sum += float(out.reward)
+                dv += float(np.abs(np.asarray(state.env.x[1:6:2])).sum())
+                decisions += 1
+                if frames_ok:
+                    img = render_preview(
+                        np.asarray(state.env.x, np.float64),
+                        np.asarray(state.marker_world[:2], np.float64),
+                    )
+                    save_ppm(f"{args.frames}/ep{ep:03d}_{decisions:04d}.ppm", img)
+                if bool(out.done):
+                    solved = bool(out.solved)
+                    break
+                if args.realtime:
+                    while time.perf_counter() - t0 < decision_dt:
+                        time.sleep(0.001)
+            rows.append({
+                "Episode": ep, "Delta V": dv, "Reward": reward_sum,
+                "Time": decisions * decision_dt, "Solved": int(solved),
+            })
+            print(f"episode {ep}: reward {reward_sum:7.2f}  solved {solved}  "
+                  f"time {decisions * decision_dt:5.1f}s")
+    finally:
+        if isinstance(source, KeyInput):
+            source.close()
+
+    with open(log_path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["Episode", "Delta V", "Reward", "Time", "Solved"])
+        if new_file:
+            w.writeheader()
+        w.writerows(rows)
+    return {"episodes": rows, "log": log_path}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Train the state-feedback PPO hover/position controller.
+
+Replaces the reference's `python3 ppo.py -s SEED -N SIZE` training loop
+(reference: environment/controller/ppo.py:27-430): same task, hyperparameter
+surface, periodic deterministic evaluation, CSV log schema, and
+untrained/solved checkpoint layout — but the rollout+update is one jitted
+program over a vmap'd env batch (optionally shard_mapped over a device
+mesh with --dp).
+
+Example:
+    python -m autonomous_quadrotor_environment_tpu.apps.train_control \
+        --seed 0 --size 128 --updates 2000 --num-envs 1024 --out runs/ctrl
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from datetime import datetime
+
+import jax
+
+from ..agents import make_eval_fn, make_train_step, ppo_init
+from ..config import EnvConfig, PPOConfig, TrainConfig
+from ..utils import CSVLogger, JSONLLogger, TRAIN_LOG_HEADER, save_params
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--size", type=int, default=128, help="hidden width N")
+    p.add_argument("--updates", type=int, default=2000)
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--rollout-steps", type=int, default=128)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--k-epochs", type=int, default=10)
+    p.add_argument("--eval-every", type=int, default=5)
+    p.add_argument("--eval-episodes", type=int, default=40)
+    p.add_argument("--robust", action="store_true", help="domain randomization + wind")
+    p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0 = single)")
+    p.add_argument("--out", type=str, default="runs/control")
+    p.add_argument("--solved-threshold", type=float, default=0.95)
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    from ..config import RandomizationConfig
+
+    env_cfg = EnvConfig(
+        n_steps=1000,
+        randomization=RandomizationConfig(enabled=args.robust),
+    )
+    ppo_cfg = PPOConfig(lr=args.lr, k_epochs=args.k_epochs)
+    train_cfg = TrainConfig(
+        num_envs=args.num_envs,
+        rollout_steps=args.rollout_steps,
+        network_size=args.size,
+        updates=args.updates,
+        eval_every=args.eval_every,
+        eval_episodes=args.eval_episodes,
+        seed=args.seed,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.dp > 0:
+        from ..parallel import make_dp_mesh, make_parallel_train_step, ppo_init_sharded
+
+        mesh = make_dp_mesh(args.dp)
+        model, tx, state = ppo_init_sharded(key, env_cfg, ppo_cfg, train_cfg, mesh)
+        train_step = make_parallel_train_step(model, tx, env_cfg, ppo_cfg, train_cfg, mesh)
+    else:
+        model, tx, state = ppo_init(key, env_cfg, ppo_cfg, train_cfg)
+        train_step = jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
+    eval_fn = jax.jit(make_eval_fn(model, env_cfg, episodes=args.eval_episodes))
+
+    tag = f"{args.size}_{args.seed}"
+    csv_log = CSVLogger(f"{args.out}/log_{tag}.csv", TRAIN_LOG_HEADER)
+    jsonl = JSONLLogger(f"{args.out}/train_{tag}.jsonl")
+    t0 = time.time()
+    total_steps = 0
+    total_eps = 0
+    last_eval = {}
+
+    for i in range(1, args.updates + 1):
+        state, metrics = train_step(state)
+        total_steps += train_cfg.num_envs * train_cfg.rollout_steps
+        total_eps += int(metrics["episodes"])
+        if i % args.eval_every == 0:
+            last_eval = {k: float(v) for k, v in eval_fn(state.params, jax.random.fold_in(key, i)).items()}
+            hours = (time.time() - t0) / 3600.0
+            now = datetime.now()
+            csv_log.append({
+                "LR": args.lr, "Max timesteps": env_cfg.n_steps,
+                "Update timesteps": train_cfg.num_envs * train_cfg.rollout_steps,
+                "K epochs": args.k_epochs, "Eval episodes": args.eval_episodes,
+                "Std": ppo_cfg.action_std, "Date": now.strftime("%d/%m/%Y"),
+                "Time": now.strftime("%H:%M:%S"), "Training Count": i,
+                "T hours": round(hours, 4),
+                "Reward avg": last_eval["eval_reward"],
+                "Solved avg": last_eval["eval_solved"],
+                "Time avg": last_eval["eval_length"],
+                "Total Episodes": total_eps, "Total Timesteps": total_steps,
+                "ETF": round(hours / i * (args.updates - i), 4),
+            })
+            jsonl.log(update=i, **last_eval, **{k: float(v) for k, v in metrics.items()})
+            print(
+                f"update {i:5d}  reward {last_eval['eval_reward']:8.2f}  "
+                f"solved {last_eval['eval_solved']:6.1%}  len {last_eval['eval_length']:6.1f}  "
+                f"steps/s {total_steps / (time.time() - t0):9.0f}"
+            )
+            save_params(f"{args.out}/untrained_networks/nn_{tag}.msgpack", state.params)
+            if last_eval["eval_solved"] >= args.solved_threshold:
+                save_params(f"{args.out}/solved/nn_solved_{tag}.msgpack", state.params)
+                print("########## Solved! ##########")
+                break
+
+    save_params(f"{args.out}/nn_final_{tag}.msgpack", state.params)
+    return {"final_eval": last_eval, "total_steps": total_steps, "wall_s": time.time() - t0}
+
+
+if __name__ == "__main__":
+    main()

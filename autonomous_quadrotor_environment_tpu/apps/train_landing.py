@@ -1,0 +1,91 @@
+"""Train the visual-landing CNN policy over a frozen state controller.
+
+Replaces the reference's `trainer_vldg.sh N` + `vldg_training.py [-c]`
+mother/child orchestration (reference: vldg_training.py:19-127,
+visual_landing/rl_worker.py:267-342): the N child processes + file-IPC
+become a vmap'd env batch (optionally shard_mapped over --dp devices), and
+the parameter "broadcast" is the replicated train state.
+
+Example:
+    python -m autonomous_quadrotor_environment_tpu.apps.train_landing \
+        --controller runs/ctrl/solved/nn_solved_128_0.msgpack \
+        --updates 500 --num-envs 64 --out runs/landing
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+
+from ..agents.networks import ActorCritic
+from ..config import PPOConfig
+from ..landing import landing_ppo_init, make_landing_eval_fn, make_landing_train_step
+from ..landing.env import LandingConfigs
+from ..utils import JSONLLogger, load_params, save_params
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--controller", type=str, required=True,
+                   help="frozen state-controller checkpoint (.msgpack)")
+    p.add_argument("--controller-size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--updates", type=int, default=500)
+    p.add_argument("--num-envs", type=int, default=64)
+    p.add_argument("--rollout-steps", type=int, default=24,
+                   help="policy decisions per env per update")
+    p.add_argument("--eval-every", type=int, default=10)
+    p.add_argument("--eval-episodes", type=int, default=20)
+    p.add_argument("--out", type=str, default="runs/landing")
+    return p
+
+
+def load_controller(path: str, size: int):
+    model = ActorCritic(hidden=size)
+    template = model.init(jax.random.PRNGKey(0), jax.numpy.zeros((1, 75)))
+    return model, load_params(path, template)
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    ctrl_model, ctrl_params = load_controller(args.controller, args.controller_size)
+    cfgs = LandingConfigs.default(training=True)
+    ppo_cfg = PPOConfig.landing_variant()
+
+    model, tx, state = landing_ppo_init(
+        jax.random.PRNGKey(args.seed), cfgs, ppo_cfg, args.num_envs,
+        ctrl_model, ctrl_params,
+    )
+    train_step = jax.jit(
+        make_landing_train_step(
+            model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, args.rollout_steps
+        )
+    )
+    eval_fn = jax.jit(
+        make_landing_eval_fn(model, cfgs, ctrl_model, ctrl_params, args.eval_episodes)
+    )
+    jsonl = JSONLLogger(f"{args.out}/train_landing_{args.seed}.jsonl")
+    t0 = time.time()
+    last_eval = {}
+    for i in range(1, args.updates + 1):
+        state, metrics = train_step(state)
+        if i % args.eval_every == 0:
+            last_eval = {
+                k: float(v)
+                for k, v in eval_fn(state.params, jax.random.fold_in(jax.random.PRNGKey(args.seed), i)).items()
+            }
+            jsonl.log(update=i, **last_eval, **{k: float(v) for k, v in metrics.items()})
+            print(
+                f"update {i:5d}  eval_reward {last_eval['eval_reward']:8.2f}  "
+                f"solved {last_eval['eval_solved']:6.1%}  "
+                f"decisions/s {i * args.num_envs * args.rollout_steps / (time.time() - t0):7.0f}"
+            )
+            save_params(f"{args.out}/PPO_landing_{args.seed}.msgpack", state.params)
+    save_params(f"{args.out}/PPO_landing_{args.seed}.msgpack", state.params)
+    return {"final_eval": last_eval, "wall_s": time.time() - t0}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Oracle PI landing policy — the golden upper-bound baseline.
+
+Capability match for the reference's `math_trajectory.py`
+(reference: visual_landing/math_trajectory.py:46-160): a PI(4.5, 0.5, 0)
+position controller that KNOWS the marker position commands a clipped
+velocity error through the same frozen low-level controller, at every
+physics step (no 10:1 interval), scored by `visual_reward`. The README's
+"optimal trajectory" number the CNN policy is compared against
+(reference README.md:10).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..envs import hover
+from ..envs.featurizer import feat_size, push_hist
+from .env import LandingConfigs
+from .reward import visual_reward
+
+PI_P = 4.5
+PI_D = 0.5
+VEL_CLIP_LO = (-0.5, -0.5, -1.666)
+VEL_CLIP_HI = (0.5, 0.5, 0.333)
+
+
+def _reset_episode(key, cfgs: LandingConfigs, dtype=jnp.float32):
+    """Same random marker/start geometry as the landing env."""
+    k_marker, k_z, k_xy, k_env = jax.random.split(key, 4)
+    marker_xy = jax.random.normal(k_marker, (2,), dtype) * cfgs.landing.marker_std
+    marker_world = jnp.concatenate([marker_xy, jnp.asarray([0.001], dtype)])
+    quad_z = -5.0 * jax.random.uniform(k_z, (), dtype) + 1.0
+    spread = jnp.abs(-5.0 - quad_z) / 7.0 * 4.0
+    quad_xy = marker_xy + (jax.random.uniform(k_xy, (2,), dtype) - 0.5) * spread
+    x0 = jnp.zeros(13, dtype)
+    x0 = x0.at[0].set(quad_xy[0]).at[2].set(quad_xy[1]).at[4].set(quad_z).at[6].set(1.0)
+    env_s = hover.reset(k_env, cfgs.env, det_state=x0, dtype=dtype)
+    return env_s, marker_world
+
+
+def oracle_landing_eval(
+    ctrl_model: Any,
+    ctrl_params: Any,
+    cfgs: LandingConfigs,
+    episodes: int,
+    key: jax.Array,
+) -> dict:
+    """Batched oracle benchmark: solved fraction, mean landing time, mean
+    cumulative |v| (the reference's solved/time/delta_v printout :157-160)."""
+    lcfg = cfgs.landing
+    dtype = jnp.float32
+    scale = jnp.asarray(lcfg.velocity_scale, dtype)
+    vel_d = jnp.asarray(lcfg.velocity_d, dtype)
+    clip_lo = jnp.asarray(VEL_CLIP_LO, dtype)
+    clip_hi = jnp.asarray(VEL_CLIP_HI, dtype)
+
+    def run_episode(ep_key):
+        env_s, marker_world = _reset_episode(ep_key, cfgs, dtype)
+        marker_env = jnp.asarray(
+            [marker_world[0], marker_world[1], -5.0], dtype
+        )
+        hist0 = push_hist(
+            jnp.zeros(feat_size(5), dtype),
+            jnp.concatenate([env_s.x[0:10], jnp.zeros(4, dtype)]),
+            jnp.zeros(4, dtype),
+        )
+
+        def step_fn(carry, k):
+            env_s, hist, last_shaping, has_shaping, done, solved, t_done, dv = carry
+            action = ctrl_model.apply(ctrl_params, hist, method="actor_mean")
+            env_s2, _ = hover.step(env_s, action, cfgs.env)
+            s = env_s2.x[0:5:2]
+            ds = env_s2.x[1:6:2]
+            vel_error = PI_P * (marker_env - s) + PI_D * (-ds)
+            vel_error = jnp.clip(vel_error, clip_lo, clip_hi)
+            control = (vel_error - vel_d) / scale
+
+            err14 = jnp.zeros(14, dtype)
+            err14 = err14.at[1].set(vel_error[0]).at[3].set(vel_error[1]).at[5].set(vel_error[2])
+            quat_state = jnp.concatenate([env_s2.x[0:10], jnp.zeros(4, dtype)])
+            hist2 = push_hist(hist, quat_state - err14, action)
+
+            rew = visual_reward(
+                lcfg.total_steps, marker_world, s, ds, control, last_shaping,
+                has_shaping, k, env_s2.ang, env_s2.x[10:13],
+            )
+            newly_done = jnp.logical_and(~done, rew.done)
+            solved = jnp.logical_or(solved, jnp.logical_and(newly_done, rew.solved))
+            t_done = jnp.where(newly_done, k.astype(dtype) * cfgs.env.dt, t_done)
+            dv = dv + jnp.where(done, 0.0, jnp.sum(jnp.abs(ds)))
+            done = jnp.logical_or(done, rew.done)
+            # freeze the env once done (mask state updates)
+            env_out = jax.tree.map(lambda a, b: jnp.where(done, a, b), env_s, env_s2)
+            hist_out = jnp.where(done, hist, hist2)
+            return (
+                env_out, hist_out, rew.shaping, jnp.ones((), bool), done, solved,
+                t_done, dv,
+            ), None
+
+        init = (
+            env_s, hist0, jnp.zeros((), dtype), jnp.zeros((), bool),
+            jnp.zeros((), bool), jnp.zeros((), bool), jnp.zeros((), dtype),
+            jnp.zeros((), dtype),
+        )
+        ks = jnp.arange(lcfg.total_steps, dtype=jnp.int32)
+        (env_s, _h, _ls, _hs, done, solved, t_done, dv), _ = jax.lax.scan(
+            step_fn, init, ks
+        )
+        return solved, t_done, dv, done
+
+    keys = jax.random.split(key, episodes)
+    solved, t_done, dv, done = jax.vmap(run_episode)(keys)
+    return {
+        "oracle_solved": jnp.mean(solved.astype(jnp.float32)),
+        "oracle_time_s": jnp.mean(t_done),
+        "oracle_delta_v": jnp.mean(dv),
+        "oracle_finished": jnp.mean(done.astype(jnp.float32)),
+    }
