@@ -84,7 +84,9 @@ def ppo_init(
     tx = make_optimizer(ppo_cfg)
     opt_state = tx.init(params)
     env_keys = jax.random.split(k_envs, train_cfg.num_envs)
-    env_states = jax.vmap(lambda k: hover.reset(k, env_cfg))(env_keys)
+    # jit the batched reset: un-jitted vmap dispatches the whole reset graph
+    # op-by-op (pathological over a remote-TPU tunnel).
+    env_states = jax.jit(jax.vmap(lambda k: hover.reset(k, env_cfg)))(env_keys)
     return model, tx, PPOTrainState(
         params=params,
         opt_state=opt_state,

@@ -79,14 +79,18 @@ def main(argv=None) -> dict:
     jsonl = JSONLLogger(f"{args.out}/train_{tag}.jsonl")
     t0 = time.time()
     total_steps = 0
-    total_eps = 0
+    total_eps_dev = None  # device-side accumulator: no per-update host sync
     last_eval = {}
 
     for i in range(1, args.updates + 1):
         state, metrics = train_step(state)
         total_steps += train_cfg.num_envs * train_cfg.rollout_steps
-        total_eps += int(metrics["episodes"])
+        total_eps_dev = (
+            metrics["episodes"] if total_eps_dev is None
+            else total_eps_dev + metrics["episodes"]
+        )
         if i % args.eval_every == 0:
+            total_eps = int(total_eps_dev)
             last_eval = {k: float(v) for k, v in eval_fn(state.params, jax.random.fold_in(key, i)).items()}
             hours = (time.time() - t0) / 3600.0
             now = datetime.now()

@@ -16,6 +16,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from ..core.quaternion import deriv_quat, quat_normalize
 from ..envs import hover
 from ..envs.featurizer import feat_size, push_hist
 from .env import LandingConfigs
@@ -62,10 +63,14 @@ def oracle_landing_eval(
         marker_env = jnp.asarray(
             [marker_world[0], marker_world[1], -5.0], dtype
         )
+        def quat_state_of(x):
+            """14-dim [pos/vel, quat, quat_dot] — the env's step output
+            (reference quadrotor_env_opt.py:399-400)."""
+            q = quat_normalize(x[6:10])
+            return jnp.concatenate([x[0:10], deriv_quat(x[10:13], q)])
+
         hist0 = push_hist(
-            jnp.zeros(feat_size(5), dtype),
-            jnp.concatenate([env_s.x[0:10], jnp.zeros(4, dtype)]),
-            jnp.zeros(4, dtype),
+            jnp.zeros(feat_size(5), dtype), quat_state_of(env_s.x), jnp.zeros(4, dtype)
         )
 
         def step_fn(carry, k):
@@ -80,8 +85,7 @@ def oracle_landing_eval(
 
             err14 = jnp.zeros(14, dtype)
             err14 = err14.at[1].set(vel_error[0]).at[3].set(vel_error[1]).at[5].set(vel_error[2])
-            quat_state = jnp.concatenate([env_s2.x[0:10], jnp.zeros(4, dtype)])
-            hist2 = push_hist(hist, quat_state - err14, action)
+            hist2 = push_hist(hist, quat_state_of(env_s2.x) - err14, action)
 
             rew = visual_reward(
                 lcfg.total_steps, marker_world, s, ds, control, last_shaping,

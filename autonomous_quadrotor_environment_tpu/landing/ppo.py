@@ -63,8 +63,8 @@ def landing_ppo_init(
     tx = optax.adam(ppo_cfg.lr, b1=ppo_cfg.adam_b1, b2=ppo_cfg.adam_b2)
     opt_state = tx.init(params)
     env_keys = jax.random.split(k_envs, num_envs)
-    env_states, obs = jax.vmap(
-        lambda k: landing_reset(k, cfgs, ctrl_model, ctrl_params)
+    env_states, obs = jax.jit(
+        jax.vmap(lambda k: landing_reset(k, cfgs, ctrl_model, ctrl_params))
     )(env_keys)
     return model, tx, LandingTrainState(
         params=params,

@@ -9,7 +9,16 @@ one (H, W, 3) image.
 
 Mathematically identical to `render/scene.py:render_nadir` for the nadir
 camera (plane z=0, optical axis -z, +u=+x, +v=-y) — tested elementwise
-against it. Falls back to `interpret=True` off-TPU.
+against it in interpret mode; compiled on TPU the VPU's fast transcendental
+approximations introduce up to ~0.07 absolute pixel error in the procedural
+ground shading (sin/cos-heavy), visually indistinguishable.
+
+MEASURED (TPU v5e, B=256): pallas 5.4 ms vs fused-XLA jnp 0.9 ms — XLA's
+fusion of the elementwise pipeline plus its (8,128)-friendly layout beats
+this kernel's (84, 3)-blocked per-env grid, so `render/scene.py` remains
+the production path; this kernel stays as the Pallas reference
+implementation and a starting point for a layout-optimized rewrite
+(planar HW-padded output, multi-env programs).
 """
 
 from __future__ import annotations

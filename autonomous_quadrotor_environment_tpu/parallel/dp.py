@@ -79,7 +79,7 @@ def ppo_init_sharded(
     opt_state = tx.init(params)
 
     env_keys = jax.random.split(k_envs, train_cfg.num_envs)
-    env_states = jax.vmap(lambda k: hover.reset(k, env_cfg))(env_keys)
+    env_states = jax.jit(jax.vmap(lambda k: hover.reset(k, env_cfg)))(env_keys)
     # One independent RNG stream per device (raw uint32 key data so the leaf
     # shards like any other array).
     dev_keys = jax.random.key_data(jax.random.split(k_state, n_dp))
