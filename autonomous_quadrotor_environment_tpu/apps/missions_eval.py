@@ -56,12 +56,25 @@ def _make_traj(spec, dt):
     )
 
 
-def run_rl_mission(env_cfg, traj, model, params, scfg, use_sensors, steps, key):
+def run_rl_mission(
+    env_cfg, traj, model, params, scfg, use_sensors, steps, key, use_vision=False
+):
     """RL controller with the outer velocity-error PID injecting the mission
     offset (reference position.py:232-247, velocity_pid.py). The controller
     observes (state - mission target - velocity offset) through its own
-    rolling window, carried explicitly."""
+    rolling window, carried explicitly.
+
+    ``use_vision`` enables the hybrid ("IMG_POS_DETER") mode: every 10th
+    frame the onboard camera view of the origin marker is rendered, the
+    chessboard PnP pose is solved, and the estimate is blended into the INS
+    (reference quadrotor_cv.py:57-105, menu.py:28-50).
+    """
+    from ..config import CameraConfig, MarkerConfig
     from ..envs.featurizer import feat_size, push_hist
+    from ..vision import vision_correction_step, vision_fusion_init
+
+    mission_cam = CameraConfig(width=240, height=240)
+    marker_cfg = MarkerConfig()
 
     x0 = jnp.zeros(13).at[6].set(1.0)
     env_s = hover.reset(key, env_cfg, det_state=x0)
@@ -71,9 +84,10 @@ def run_rl_mission(env_cfg, traj, model, params, scfg, use_sensors, steps, key):
     )
     sens0 = sensor_reset(key, reads_from_env(env_s.x, aux0), scfg)
     vp0 = vel_pid_init()
+    f0 = vision_fusion_init()
 
     def body2(carry, i):
-        env_s, sens_s, vp_s, hist, action, k = carry
+        env_s, sens_s, vp_s, f_s, hist, action, k = carry
         k, k_s = jax.random.split(k)
         tgt = mission_target(traj, i)
         if use_sensors:
@@ -86,6 +100,11 @@ def run_rl_mission(env_cfg, traj, model, params, scfg, use_sensors, steps, key):
                 env_cfg.dt,
             )
             state14 = fused.states_sens
+            if use_vision:
+                f_s, sens_s, _vout = vision_correction_step(
+                    f_s, sens_s, env_s.x[0:5:2], jnp.zeros(2), i, env_cfg.dt,
+                    mission_cam, marker_cfg,
+                )
         else:
             state14 = jnp.concatenate([env_s.x[0:10], jnp.zeros(4)])
         vp_s, verr = vel_pid(vp_s, state14, tgt, env_cfg.dt)
@@ -93,12 +112,13 @@ def run_rl_mission(env_cfg, traj, model, params, scfg, use_sensors, steps, key):
         action = model.apply(params, hist, method="actor_mean")
         env_s, _ = hover.step(env_s, action, env_cfg)
         err_pos = env_s.x[0:5:2] - tgt[0:5:2]
+        est_err = jnp.linalg.norm(sens_s.pos_ins - env_s.x[0:5:2])
         log = jnp.concatenate(
-            [env_s.x, err_pos, jnp.asarray([jnp.linalg.norm(err_pos)])]
+            [env_s.x, err_pos, jnp.asarray([jnp.linalg.norm(err_pos), est_err])]
         )
-        return (env_s, sens_s, vp_s, hist, action, k), log
+        return (env_s, sens_s, vp_s, f_s, hist, action, k), log
 
-    init = (env_s, sens0, vp0, jnp.zeros(feat_size(5)), jnp.zeros(4), key)
+    init = (env_s, sens0, vp0, f0, jnp.zeros(feat_size(5)), jnp.zeros(4), key)
     _, log = jax.lax.scan(body2, init, jnp.arange(steps))
     return np.asarray(log)
 
@@ -131,6 +151,9 @@ def build_parser():
     p.add_argument("--policy-size", type=int, default=128)
     p.add_argument("--sensors", action="store_true",
                    help="control on fused sensor estimates instead of true state")
+    p.add_argument("--vision", action="store_true",
+                   help="hybrid mode: PnP pose corrections blended into the "
+                        "INS every 10 frames (implies --sensors)")
     p.add_argument("--steps", type=int, default=MISSION_STEPS)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="runs/missions")
@@ -143,13 +166,15 @@ def main(argv=None) -> dict:
     scfg = SensorConfig()
     results = {}
 
+    if args.vision:
+        args.sensors = True
     model = params = None
     if args.policy:
         env_cfg = EnvConfig(n_steps=args.steps, direct_control=True, training=False)
         model = ActorCritic(hidden=args.policy_size)
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
         params = load_params(args.policy, template)
-        name = "rl" + ("_sens" if args.sensors else "")
+        name = "rl" + ("_vis" if args.vision else "_sens" if args.sensors else "")
     else:
         env_cfg = EnvConfig(n_steps=args.steps, direct_control=False, training=False)
         name = "pid"
@@ -161,7 +186,8 @@ def main(argv=None) -> dict:
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), ep)
         if args.policy:
             log = run_rl_mission(
-                env_cfg, traj, model, params, scfg, args.sensors, args.steps, key
+                env_cfg, traj, model, params, scfg, args.sensors, args.steps, key,
+                use_vision=args.vision,
             )
         else:
             log = run_pid_mission(env_cfg, traj, args.steps, key)

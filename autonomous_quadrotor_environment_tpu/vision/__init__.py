@@ -10,10 +10,12 @@ correction runs on-device for the whole env batch inside the compiled step.
 from .calibration import calibrate_camera, reprojection_rms
 from .corners import chessboard_corners_nadir, corner_response, count_corners
 from .fusion import VisionFusionState, vision_fuse, vision_fusion_init
+from .pipeline import VisionPoseOut, vision_correction_step, vision_pose
 from .pnp import board_object_points, solve_pnp
 
 __all__ = [
     "VisionFusionState",
+    "VisionPoseOut",
     "board_object_points",
     "calibrate_camera",
     "chessboard_corners_nadir",
@@ -21,6 +23,8 @@ __all__ = [
     "count_corners",
     "reprojection_rms",
     "solve_pnp",
+    "vision_correction_step",
     "vision_fuse",
     "vision_fusion_init",
+    "vision_pose",
 ]

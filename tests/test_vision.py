@@ -160,3 +160,60 @@ def test_fusion_noop_when_not_ok():
     )
     np.testing.assert_array_equal(np.asarray(s2.pos_ins), np.asarray(s.pos_ins))
     np.testing.assert_array_equal(np.asarray(s2.vel_ins), np.asarray(s.vel_ins))
+
+
+def test_vision_correction_bounds_ins_drift():
+    """Hybrid mode (reference pos_deter): with PnP corrections every 10
+    frames the INS position error stays bounded, while pure dead reckoning
+    drifts (the GPS-denied premise of the whole reference project)."""
+    import jax.numpy as jnp
+    from autonomous_quadrotor_environment_tpu.config import (
+        CameraConfig,
+        EnvConfig,
+        SensorConfig,
+    )
+    from autonomous_quadrotor_environment_tpu.core.dynamics import physics_step
+    from autonomous_quadrotor_environment_tpu.core.randomization import zeros_domain
+    from autonomous_quadrotor_environment_tpu.envs.sensors import (
+        reads_from_env,
+        sensor_fused,
+        sensor_reset,
+    )
+    from autonomous_quadrotor_environment_tpu.vision import (
+        vision_correction_step,
+        vision_fusion_init,
+    )
+
+    env_cfg = EnvConfig()
+    scfg = SensorConfig()
+    cam_cfg = CameraConfig(width=240, height=240)
+    x = jnp.zeros(13).at[4].set(-2.0).at[6].set(1.0)  # parked 3 m above ground
+    zc = jnp.full((4,), env_cfg.physics.hover_action_direct)
+    _, aux = physics_step(x, zc, jnp.zeros(3), env_cfg.physics, zeros_domain(), dt=env_cfg.dt)
+    reads = reads_from_env(x, aux)
+
+    def run(with_vision: bool):
+        sens = sensor_reset(jax.random.PRNGKey(0), reads, scfg)
+        f = vision_fusion_init()
+
+        def body(carry, i):
+            sens, f, key = carry
+            key, ks = jax.random.split(key)
+            sens, fused = sensor_fused(sens, reads, ks, scfg, env_cfg.physics, env_cfg.dt)
+            if with_vision:
+                f, sens, _ = vision_correction_step(
+                    f, sens, x[0:5:2], jnp.zeros(2), i, env_cfg.dt, cam_cfg, MARKER
+                )
+            err = jnp.linalg.norm(sens.pos_ins - x[0:5:2])
+            return (sens, f, key), err
+
+        (_, _, _), errs = jax.lax.scan(
+            body, (sens, f, jax.random.PRNGKey(1)), jnp.arange(1, 301)
+        )
+        return np.asarray(errs)
+
+    err_vis = run(True)
+    err_ins = run(False)
+    # vision-corrected estimate stays tight; pure INS drifts well past it
+    assert err_vis[-1] < 0.3, err_vis[-1]
+    assert err_ins[-1] > err_vis[-1] * 2, (err_ins[-1], err_vis[-1])
