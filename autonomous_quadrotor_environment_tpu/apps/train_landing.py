@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-every", type=int, default=10)
     p.add_argument("--eval-episodes", type=int, default=20)
     p.add_argument("--out", type=str, default="runs/landing")
+    p.add_argument("--resume", type=str, default=None,
+                   help="landing checkpoint to continue from (the reference "
+                        "trainers always try-load their last checkpoint, "
+                        "ppo_trainer.py:69-77)")
     return p
 
 
@@ -58,6 +62,10 @@ def main(argv=None) -> dict:
         jax.random.PRNGKey(args.seed), cfgs, ppo_cfg, args.num_envs,
         ctrl_model, ctrl_params,
     )
+    if args.resume:
+        params = load_params(args.resume, state.params)
+        state = state.replace(params=params, opt_state=tx.init(params))
+        print(f"resumed from {args.resume}")
     train_step = jax.jit(
         make_landing_train_step(
             model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, args.rollout_steps
