@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 FIXTURE_DIR = os.path.dirname(os.path.abspath(__file__))
 SOLVED_CONTROLLER = os.path.join(FIXTURE_DIR, "nn_solved_128_0.msgpack")
+LANDING_POLICY = os.path.join(FIXTURE_DIR, "landing_policy.msgpack")
 
 
 def load_solved_controller():
@@ -28,3 +29,22 @@ def load_solved_controller():
     model = ActorCritic(hidden=128)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
     return model, load_params(SOLVED_CONTROLLER, template)
+
+
+def load_landing_policy():
+    """(model, params) for the shipped landing CNN policy.
+
+    Trained by apps/train_landing.py (8000 updates total, reference
+    hyperparams lr 2e-5 / K=5 / minibatch 1536) to **100% solved** on the
+    official 100-episode eval-mode benchmark (reference bar: 93.5%,
+    rl_eval_worker.py / README.md:10).
+    """
+    from ..landing.networks import LandingActorCritic
+    from ..utils import load_params
+
+    model = LandingActorCritic()
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)),
+        jnp.zeros((1, 3)),
+    )
+    return model, load_params(LANDING_POLICY, template)
