@@ -31,6 +31,7 @@ from flax import struct
 
 from ..config import CameraConfig, EnvConfig, LandingConfig, MarkerConfig, SensorConfig
 from ..core.dynamics import physics_step
+from ..core.randomization import zeros_domain
 from ..envs import hover
 from ..envs.featurizer import feat_size, push_hist
 from ..envs.sensors import SensorState, reads_from_env, sensor_fused, sensor_reset
@@ -167,8 +168,6 @@ def landing_reset(
     x0 = x0.at[6].set(1.0)
 
     env_s = hover.reset(k_env, cfgs.env, det_state=x0, dtype=dtype)
-    from ..core.randomization import zeros_domain
-
     _, aux0 = physics_step(
         env_s.x, jnp.zeros(4, dtype), jnp.zeros(3, dtype), cfgs.env.physics,
         zeros_domain(dtype), dt=cfgs.env.dt, direct_control=True,
