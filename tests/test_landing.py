@@ -168,3 +168,22 @@ def test_landing_eval_smoke():
     out = eval_fn(params, jax.random.PRNGKey(1))
     assert np.isfinite(float(out["eval_reward"]))
     assert 0.0 <= float(out["eval_solved"]) <= 1.0
+
+
+def test_landing_fixture_lands():
+    """The shipped landing-policy fixture must land successfully (small CI
+    slice of the 100-episode benchmark it passed at 100%/99%)."""
+    from autonomous_quadrotor_environment_tpu.fixtures import (
+        load_landing_policy,
+        load_solved_controller,
+    )
+
+    cm, cp = load_solved_controller()
+    lm, lp = load_landing_policy()
+    cfgs = LandingConfigs.default(training=False)
+    eval_fn = jax.jit(
+        make_landing_eval_fn(lm, cfgs, cm, cp, episodes=4, max_decisions=100)
+    )
+    out = eval_fn(lp, jax.random.PRNGKey(11))
+    assert float(out["eval_finished"]) == 1.0
+    assert float(out["eval_solved"]) >= 0.75, dict(out)
