@@ -28,6 +28,7 @@ from ..agents.networks import ActorCritic
 from ..baselines import POSITION_GAINS, cascaded_pid_control, cascaded_pid_init
 from ..baselines.velocity_pid import vel_pid, vel_pid_init
 from ..config import EnvConfig, SensorConfig
+from ..core.quaternion import deriv_quat, quat_normalize
 from ..core.dynamics import physics_step
 from ..core.randomization import zeros_domain
 from ..envs import hover
@@ -56,18 +57,22 @@ def _make_traj(spec, dt):
     )
 
 
-def run_rl_mission(
-    env_cfg, traj, model, params, scfg, use_sensors, steps, key, use_vision=False
+def make_rl_mission_runner(
+    env_cfg, model, params, scfg, use_sensors, steps, use_vision=False
 ):
-    """RL controller with the outer velocity-error PID injecting the mission
-    offset (reference position.py:232-247, velocity_pid.py). The controller
-    observes (state - mission target - velocity offset) through its own
-    rolling window, carried explicitly.
+    """Build a JITTED mission runner ``fn(traj, key) -> log``.
 
-    ``use_vision`` enables the hybrid ("IMG_POS_DETER") mode: every 10th
-    frame the onboard camera view of the origin marker is rendered, the
-    chessboard PnP pose is solved, and the estimate is blended into the INS
-    (reference quadrotor_cv.py:57-105, menu.py:28-50).
+    Compiled ONCE per mode — every episode's trajectory has the same table
+    shape, so all 14 episodes reuse the executable (un-jitted per-episode
+    scans retrace and recompile 14x, minutes each over the remote tunnel).
+
+    The runner: RL controller with the outer velocity-error PID injecting
+    the mission offset (reference position.py:232-247, velocity_pid.py),
+    observing (state - mission target - velocity offset) through its own
+    rolling window. ``use_vision`` enables the hybrid ("IMG_POS_DETER")
+    mode: every 10th frame the onboard camera view of the origin marker is
+    rendered, the chessboard PnP pose is solved, and the estimate is
+    blended into the INS (reference quadrotor_cv.py:57-105, menu.py:28-50).
     """
     from ..config import CameraConfig, MarkerConfig
     from ..envs.featurizer import feat_size, push_hist
@@ -76,73 +81,104 @@ def run_rl_mission(
     mission_cam = CameraConfig(width=240, height=240)
     marker_cfg = MarkerConfig()
 
-    x0 = jnp.zeros(13).at[6].set(1.0)
-    env_s = hover.reset(key, env_cfg, det_state=x0)
-    _, aux0 = physics_step(
-        env_s.x, jnp.zeros(4), jnp.zeros(3), env_cfg.physics, zeros_domain(),
-        dt=env_cfg.dt,
-    )
-    sens0 = sensor_reset(key, reads_from_env(env_s.x, aux0), scfg)
-    vp0 = vel_pid_init()
-    f0 = vision_fusion_init()
-
-    def body2(carry, i):
-        env_s, sens_s, vp_s, f_s, hist, action, k = carry
-        k, k_s = jax.random.split(k)
-        tgt = mission_target(traj, i)
-        if use_sensors:
-            _, aux = physics_step(
-                env_s.x, action, jnp.zeros(3), env_cfg.physics, env_s.dom,
-                dt=env_cfg.dt, direct_control=env_cfg.direct_control,
-            )
-            sens_s, fused = sensor_fused(
-                sens_s, reads_from_env(env_s.x, aux), k_s, scfg, env_cfg.physics,
-                env_cfg.dt,
-            )
-            state14 = fused.states_sens
-            if use_vision:
-                f_s, sens_s, _vout = vision_correction_step(
-                    f_s, sens_s, env_s.x[0:5:2], jnp.zeros(2), i, env_cfg.dt,
-                    mission_cam, marker_cfg,
-                )
-        else:
-            state14 = jnp.concatenate([env_s.x[0:10], jnp.zeros(4)])
-        vp_s, verr = vel_pid(vp_s, state14, tgt, env_cfg.dt)
-        hist = push_hist(hist, state14 - tgt - verr, action)
-        action = model.apply(params, hist, method="actor_mean")
-        env_s, _ = hover.step(env_s, action, env_cfg)
-        err_pos = env_s.x[0:5:2] - tgt[0:5:2]
-        est_err = jnp.linalg.norm(sens_s.pos_ins - env_s.x[0:5:2])
-        log = jnp.concatenate(
-            [env_s.x, err_pos, jnp.asarray([jnp.linalg.norm(err_pos), est_err])]
+    @jax.jit
+    def run(traj, key):
+        x0 = jnp.zeros(13).at[6].set(1.0)
+        env_s = hover.reset(key, env_cfg, det_state=x0)
+        _, aux0 = physics_step(
+            env_s.x, jnp.zeros(4), jnp.zeros(3), env_cfg.physics, zeros_domain(),
+            dt=env_cfg.dt,
         )
-        return (env_s, sens_s, vp_s, f_s, hist, action, k), log
+        sens0 = sensor_reset(key, reads_from_env(env_s.x, aux0), scfg)
+        vp0 = vel_pid_init()
+        f0 = vision_fusion_init()
 
-    init = (env_s, sens0, vp0, f0, jnp.zeros(feat_size(5)), jnp.zeros(4), key)
-    _, log = jax.lax.scan(body2, init, jnp.arange(steps))
-    return np.asarray(log)
+        def body(carry, i):
+            env_s, sens_s, vp_s, f_s, hist, action, k = carry
+            k, k_s = jax.random.split(k)
+            tgt = mission_target(traj, i)
+            if use_sensors:
+                _, aux = physics_step(
+                    env_s.x, action, jnp.zeros(3), env_cfg.physics, env_s.dom,
+                    dt=env_cfg.dt, direct_control=env_cfg.direct_control,
+                )
+                sens_s, fused = sensor_fused(
+                    sens_s, reads_from_env(env_s.x, aux), k_s, scfg,
+                    env_cfg.physics, env_cfg.dt,
+                )
+                state14 = fused.states_sens
+                if use_vision:  # hybrid: PnP corrections into the INS
+                    f_s, sens_s, _vout = vision_correction_step(
+                        f_s, sens_s, env_s.x[0:5:2], jnp.zeros(2), i, env_cfg.dt,
+                        mission_cam, marker_cfg,
+                    )
+            else:
+                # true-state mode: the controller's quat_dot features must
+                # be real (reference position.py feeds the env's
+                # quat_state) — zeroing them destabilizes the attitude loop.
+                q = quat_normalize(env_s.x[6:10])
+                state14 = jnp.concatenate(
+                    [env_s.x[0:10], deriv_quat(env_s.x[10:13], q)]
+                )
+            vp_s, verr = vel_pid(vp_s, state14, tgt, env_cfg.dt)
+            hist = push_hist(hist, state14 - tgt - verr, action)
+            action = model.apply(params, hist, method="actor_mean")
+            env_s, _ = hover.step(env_s, action, env_cfg)
+            err_pos = env_s.x[0:5:2] - tgt[0:5:2]
+            est_err = jnp.linalg.norm(sens_s.pos_ins - env_s.x[0:5:2])
+            log = jnp.concatenate(
+                [env_s.x, err_pos, jnp.asarray([jnp.linalg.norm(err_pos), est_err])]
+            )
+            return (env_s, sens_s, vp_s, f_s, hist, action, k), log
+
+        init = (env_s, sens0, vp0, f0, jnp.zeros(feat_size(5)), jnp.zeros(4), key)
+        _, log = jax.lax.scan(body, init, jnp.arange(steps))
+        return log
+
+    return run
+
+
+def run_rl_mission(
+    env_cfg, traj, model, params, scfg, use_sensors, steps, key, use_vision=False
+):
+    """One-shot convenience wrapper (tests); batch callers should reuse
+    `make_rl_mission_runner` to share the compile across episodes."""
+    runner = make_rl_mission_runner(
+        env_cfg, model, params, scfg, use_sensors, steps, use_vision
+    )
+    return np.asarray(runner(traj, key))
+
+
+def make_pid_mission_runner(env_cfg, steps):
+    @jax.jit
+    def run(traj, key):
+        x0 = jnp.zeros(13).at[6].set(1.0)
+        env_s = hover.reset(key, env_cfg, det_state=x0)
+        pid_s = cascaded_pid_init()
+
+        def body(carry, i):
+            env_s, pid_s = carry
+            tgt = mission_target(traj, i)
+            pid_s, action = cascaded_pid_control(
+                pid_s, env_s.x[0:5:2], env_s.x[1:6:2], env_s.ang, env_s.ang_vel,
+                tgt[0:5:2], tgt[1:6:2], jnp.zeros(()), POSITION_GAINS,
+                env_cfg.physics, env_cfg.dt,
+            )
+            env_s, _ = hover.step(env_s, action, env_cfg)
+            err_pos = env_s.x[0:5:2] - tgt[0:5:2]
+            log = jnp.concatenate(
+                [env_s.x, err_pos, jnp.asarray([jnp.linalg.norm(err_pos)])]
+            )
+            return (env_s, pid_s), log
+
+        _, log = jax.lax.scan(body, (env_s, pid_s), jnp.arange(steps))
+        return log
+
+    return run
 
 
 def run_pid_mission(env_cfg, traj, steps, key):
-    x0 = jnp.zeros(13).at[6].set(1.0)
-    env_s = hover.reset(key, env_cfg, det_state=x0)
-    pid_s = cascaded_pid_init()
-
-    def body(carry, i):
-        env_s, pid_s = carry
-        tgt = mission_target(traj, i)
-        pid_s, action = cascaded_pid_control(
-            pid_s, env_s.x[0:5:2], env_s.x[1:6:2], env_s.ang, env_s.ang_vel,
-            tgt[0:5:2], tgt[1:6:2], jnp.zeros(()), POSITION_GAINS,
-            env_cfg.physics, env_cfg.dt,
-        )
-        env_s, _ = hover.step(env_s, action, env_cfg)
-        err_pos = env_s.x[0:5:2] - tgt[0:5:2]
-        log = jnp.concatenate([env_s.x, err_pos, jnp.asarray([jnp.linalg.norm(err_pos)])])
-        return (env_s, pid_s), log
-
-    _, log = jax.lax.scan(body, (env_s, pid_s), jnp.arange(steps))
-    return np.asarray(log)
+    return np.asarray(make_pid_mission_runner(env_cfg, steps)(traj, key))
 
 
 def build_parser():
@@ -179,18 +215,20 @@ def main(argv=None) -> dict:
         env_cfg = EnvConfig(n_steps=args.steps, direct_control=False, training=False)
         name = "pid"
 
+    if args.policy:
+        runner = make_rl_mission_runner(
+            env_cfg, model, params, scfg, args.sensors, args.steps,
+            use_vision=args.vision,
+        )
+    else:
+        runner = make_pid_mission_runner(env_cfg, args.steps)
+
     rows = []
     for ep in range(episode_n()):
         spec = target_parse(ep)
         traj = _make_traj(spec, env_cfg.dt)
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), ep)
-        if args.policy:
-            log = run_rl_mission(
-                env_cfg, traj, model, params, scfg, args.sensors, args.steps, key,
-                use_vision=args.vision,
-            )
-        else:
-            log = run_pid_mission(env_cfg, traj, args.steps, key)
+        log = np.asarray(runner(traj, key))
         # log: (T, 13 + 3 + 1): state, err_pos, |err|
         y = log[:, 0:13].T
         err_sum = float(log[:, 16].sum())

@@ -141,6 +141,7 @@ class EnvConfig:
     dt: float = 0.01              # integration time step [s]
     n_steps: int = 1000           # max env steps per episode (excl. warmup)
     warmup: int = 5               # T initial zero-action steps (reference T)
+    hist_t: int = 5               # featurizer window length (obs = hist_t*15)
     direct_control: bool = True   # per-motor [-1,1] vs [F, Mx, My, Mz]
     clipped: bool = True          # motor clipping in indirect mode
     training: bool = True         # training mode: solve terminates episode

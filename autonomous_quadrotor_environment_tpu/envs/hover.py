@@ -232,7 +232,7 @@ def reset(
         x0 = random_initial_state(k_init, dtype)
     else:
         x0 = jnp.asarray(det_state, dtype)
-    state = _raw_state(x0, k_state, dom, cfg.warmup if cfg.warmup > 0 else 1)
+    state = _raw_state(x0, k_state, dom, cfg.hist_t)
 
     if cfg.warmup > 0:
         zc = zero_control(cfg, dtype)
