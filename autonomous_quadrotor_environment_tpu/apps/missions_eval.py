@@ -78,7 +78,10 @@ def make_rl_mission_runner(
     from ..envs.featurizer import feat_size, push_hist
     from ..vision import vision_correction_step, vision_fusion_init
 
-    mission_cam = CameraConfig(width=240, height=240)
+    # Higher-res mission camera like the reference's (its saved intrinsics
+    # imply a ~960px buffer, config/camera_calibration_cam_1.npz): the board
+    # must stay detectable from cruise altitude.
+    mission_cam = CameraConfig(width=480, height=480)
     marker_cfg = MarkerConfig()
 
     @jax.jit
@@ -110,7 +113,7 @@ def make_rl_mission_runner(
                 if use_vision:  # hybrid: PnP corrections into the INS
                     f_s, sens_s, _vout = vision_correction_step(
                         f_s, sens_s, env_s.x[0:5:2], jnp.zeros(2), i, env_cfg.dt,
-                        mission_cam, marker_cfg,
+                        mission_cam, marker_cfg, quad_quat=env_s.x[6:10],
                     )
             else:
                 # true-state mode: the controller's quat_dot features must
