@@ -13,17 +13,19 @@ Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
 
     core/      quaternion math, rigid-body dynamics, RK4, domain randomization
     envs/      batched hover/position env, sensor suite, rewards, featurizer
-    models/    Flax actor-critic MLP + landing CNN
-    agents/    PPO (GAE, clipped surrogate), batched rollout collectors
-    baselines/ cascaded PID, velocity PID, LQR, oracle landing PI controller
+    agents/    Flax actor-critic MLP + PPO (GAE, clipped surrogate, rollouts)
+    baselines/ cascaded PID, velocity PID, LQR
     missions/  reference trajectories, target tables, response metrics
     render/    pinhole-camera projective ground/marker renderer (on-device)
-    vision/    corner detection, Gauss-Newton PnP, complementary fusion
-    landing/   hierarchical visual-landing env + reward taxonomy
+    vision/    corner detection, Gauss-Newton PnP, calibration, fusion
+    landing/   hierarchical visual-landing env, CNN policy, PPO, PI oracle
     parallel/  mesh construction and shard_map data parallelism
-    ops/       Pallas TPU kernels for hot paths
-    utils/     metrics logging, checkpointing, timing
-    apps/      CLI entry points (training, eval, benchmarks)
+    ops/       Pallas TPU kernels
+    native/    C++ host-side chase-cam preview renderer (ctypes)
+    fixtures/  shipped trained checkpoints (solved controller, landing CNN)
+    analysis/  offline log analyzers
+    utils/     metrics logging, checkpointing, timing, memory debug
+    apps/      CLI entry points (training, eval, benchmarks, manual flight)
 """
 
 __version__ = "0.1.0"

@@ -12,9 +12,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: repeated bench runs (and the driver's) skip
+# the 20s-to-minutes tunnel compile when the executable is unchanged.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_STEPS_PER_S = 300.0  # reference end-to-end (BASELINE.md)
 
@@ -26,15 +33,16 @@ def main() -> None:
     platform = jax.devices()[0].platform
     # Reference-equivalent training shape: 1000-step episodes, K=10 epochs,
     # N=128 network, ~5k steps per update scaled up to fill the chip.
-    # (4096-env full-batch compiles pathologically slowly over the remote
-    # tunnel; 1024x128 is the validated sweet spot, ~0.14s/update.)
+    # Sweep (RESULTS.md): 2048x256 with 128k minibatches is the measured
+    # optimum (~1.44M steps/s, 21s compile); full-batch updates compile ~9x
+    # slower for less throughput.
     if platform == "tpu":
-        num_envs, rollout_steps = 1024, 128
+        num_envs, rollout_steps, minibatch = 2048, 256, 131072
     else:
-        num_envs, rollout_steps = 256, 64
+        num_envs, rollout_steps, minibatch = 256, 64, 0
 
     env_cfg = EnvConfig(n_steps=1000)
-    ppo_cfg = PPOConfig(k_epochs=10, minibatch_size=0)
+    ppo_cfg = PPOConfig(k_epochs=10, minibatch_size=minibatch)
     train_cfg = TrainConfig(
         num_envs=num_envs, rollout_steps=rollout_steps, network_size=128
     )
