@@ -126,3 +126,41 @@ def test_manual_flight_scripted(tmp_path):
     assert os.path.exists(out["log"])
     agg = aggregate_pilot_logs(str(tmp_path / "runs" / "log_*_eval.csv"))
     assert agg["episodes"] == 1
+
+
+def test_plots_write_pngs(tmp_path):
+    from autonomous_quadrotor_environment_tpu.analysis import (
+        plot_landing_stats,
+        plot_training_curves,
+        plot_trajectory_3d,
+        training_curves,
+    )
+
+    states = np.zeros((50, 13))
+    states[:, 0] = np.linspace(0, 1, 50)
+    states[:, 4] = np.linspace(0, 2, 50)
+    p1 = plot_trajectory_3d(states, str(tmp_path / "traj.png"), target=[1.0, 0.0, 2.0])
+    assert os.path.getsize(p1) > 1000
+
+    _write_log(str(tmp_path / "log_128_0.csv"), [1.0, 5.0, 9.0])
+    curves = training_curves([str(tmp_path / "log_128_0.csv")])
+    p2 = plot_training_curves(curves, str(tmp_path / "curves.png"))
+    assert os.path.getsize(p2) > 1000
+
+    errors = np.random.default_rng(0).normal(0, 0.2, (8, 100, 3))
+    p3 = plot_landing_stats(errors, str(tmp_path / "landing.png"))
+    assert os.path.getsize(p3) > 1000
+
+
+def test_step_response_metrics():
+    from autonomous_quadrotor_environment_tpu.apps.step_response import (
+        response_metrics_velocity,
+    )
+
+    log = np.zeros((1000, 13))
+    # first-order response to 1 m/s with tau = 0.5 s
+    t = np.arange(1000) * 0.01
+    log[:, 1] = 1.0 - np.exp(-t / 0.5)
+    m = response_metrics_velocity(log, axis=0, target=1.0, dt=0.01)
+    assert 1.2 < m["rise_s"] < 1.8  # ln(20)*tau ~ 1.5 s to the 5% band
+    assert abs(m["ss_error"]) < 0.01
