@@ -87,6 +87,41 @@ class ScriptInput:
         return np.asarray(cmd, np.float64)
 
 
+class GamepadInput:
+    """Linux joystick API reader (/dev/input/jsN) — the reference's pygame
+    gamepad with deadzones (reference manual_flight.py:38-40, 80-89).
+    Axes 0/1 -> xy, axis 3 (right stick vertical) -> z; deadzone 0.1."""
+
+    DEADZONE = 0.1
+
+    def __init__(self, device: str = "/dev/input/js0"):
+        import fcntl
+
+        self.fd = os.open(device, os.O_RDONLY | os.O_NONBLOCK)
+        del fcntl
+        self.axes = np.zeros(8)
+
+    def close(self):
+        os.close(self.fd)
+
+    def read(self) -> np.ndarray:
+        import struct
+
+        while True:
+            try:
+                ev = os.read(self.fd, 8)
+            except BlockingIOError:
+                break
+            if len(ev) < 8:
+                break
+            _time, value, ev_type, number = struct.unpack("IhBB", ev)
+            if ev_type & 0x02 and number < len(self.axes):  # JS_EVENT_AXIS
+                self.axes[number] = value / 32767.0
+        cmd = np.array([self.axes[0], -self.axes[1], -self.axes[3]])
+        cmd[np.abs(cmd) < self.DEADZONE] = 0.0
+        return cmd
+
+
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--controller", type=str, required=True)
@@ -94,6 +129,8 @@ def build_parser():
     p.add_argument("--user", type=str, default="anon")
     p.add_argument("--episodes", type=int, default=5)
     p.add_argument("--keys", action="store_true")
+    p.add_argument("--gamepad", type=str, default=None, metavar="DEV",
+                   help="joystick device, e.g. /dev/input/js0")
     p.add_argument("--script", type=str, default=None)
     p.add_argument("--realtime", action="store_true",
                    help="pace decisions at 10 Hz (reference manual_flight.py:76-78)")
@@ -113,10 +150,12 @@ def main(argv=None) -> dict:
     source = None
     if args.script:
         source = ScriptInput(args.script)
+    elif args.gamepad:
+        source = GamepadInput(args.gamepad)
     elif args.keys:
         source = KeyInput()
     else:
-        raise SystemExit("need --keys or --script")
+        raise SystemExit("need --keys, --gamepad, or --script")
 
     if args.frames:
         os.makedirs(args.frames, exist_ok=True)
@@ -163,7 +202,7 @@ def main(argv=None) -> dict:
             print(f"episode {ep}: reward {reward_sum:7.2f}  solved {solved}  "
                   f"time {decisions * decision_dt:5.1f}s")
     finally:
-        if isinstance(source, KeyInput):
+        if isinstance(source, (KeyInput, GamepadInput)):
             source.close()
 
     with open(log_path, "a", newline="") as f:

@@ -48,15 +48,65 @@ class ConvTrunk(nn.Module):
         return x
 
 
+class ConvTrunk3D(nn.Module):
+    """Stacked-frame 3D-conv trunk (reference conv3D_forward :98-127,
+    disabled by default there via conv_3D=False, rl_worker.py:27).
+
+    Input (..., T, H, W, 3): T past frames (the reference selects frames
+    [6,5,2,1,0] from a 7-deep ring, rl_worker.py:29). Same kernel/pool
+    family as the reference: Conv3D(60, k=(2,3,3), SAME-spatial) -> tanh ->
+    avgpool (1,3,3) -> Conv3D(120, k=(2,3,3)) -> tanh -> avgpool (2,3,3) ->
+    fc 768 tanh. The fc width is inferred from the actual flatten — the
+    reference hardcodes 120*8^2, which mismatches its own trace (a latent
+    bug in dead code, deliberately not replicated).
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (..., T, H, W, C)
+        kw = dict(dtype=self.dtype, kernel_init=nn.initializers.orthogonal(math.sqrt(2.0)))
+        x = jnp.tanh(
+            nn.Conv(60, (2, 3, 3), strides=(1, 1, 1), padding=((0, 0), (1, 1), (1, 1)), **kw)(x)
+        )
+        x = nn.avg_pool(x, (1, 3, 3), strides=(1, 3, 3))
+        x = jnp.tanh(
+            nn.Conv(120, (2, 3, 3), strides=(1, 1, 1), padding=((0, 0), (1, 1), (1, 1)), **kw)(x)
+        )
+        x = nn.avg_pool(x, (2, 3, 3), strides=(2, 3, 3))
+        x = x.reshape(x.shape[:-4] + (-1,))
+        return jnp.tanh(nn.Dense(768, **kw)(x))
+
+
+class ImageHistory:
+    """Fixed-depth image ring buffer for the stacked-frame variant
+    (reference image_roll, rl_worker.py:190-205): newest frame at index 0."""
+
+    @staticmethod
+    def init(depth: int, h: int = 84, w: int = 84, c: int = 3, dtype=jnp.float32):
+        return jnp.zeros((depth, h, w, c), dtype)
+
+    @staticmethod
+    def push(buf: jnp.ndarray, frame: jnp.ndarray) -> jnp.ndarray:
+        return jnp.concatenate([frame[None], buf[:-1]], axis=0)
+
+    @staticmethod
+    def select(buf: jnp.ndarray, times=(6, 5, 2, 1, 0)) -> jnp.ndarray:
+        """The reference's T_visual_time frame selection (rl_worker.py:29)."""
+        return buf[jnp.asarray(times)]
+
+
 class LandingActorCritic(nn.Module):
     """(image, sens) -> (action mean (3,), q-value, log_std)."""
 
     action_std: float = 0.1
+    conv_3d: bool = False   # stacked-frame variant (reference conv_3D flag)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.conv_ac = ConvTrunk(dtype=self.dtype)
-        self.conv_ct = ConvTrunk(dtype=self.dtype)
+        trunk = ConvTrunk3D if self.conv_3d else ConvTrunk
+        self.conv_ac = trunk(dtype=self.dtype)
+        self.conv_ct = trunk(dtype=self.dtype)
         self.actor_fc1 = nn.Dense(
             768, dtype=self.dtype, kernel_init=nn.initializers.orthogonal(math.sqrt(2.0))
         )

@@ -36,3 +36,27 @@ def test_fixture_controller_solves_hover():
     out = eval_fn(params, jax.random.PRNGKey(123))
     assert float(out["eval_solved"]) >= 0.8, dict(out)
     assert float(out["eval_reward"]) > 15.0
+
+
+def test_replay_app_renders_frames(tmp_path):
+    import pytest
+
+    from autonomous_quadrotor_environment_tpu.native import preview_available
+
+    if not preview_available():
+        pytest.skip("native toolchain unavailable")
+    from autonomous_quadrotor_environment_tpu.apps import replay
+
+    states = np.zeros((100, 13))
+    states[:, 6] = 1.0
+    states[:, 4] = np.linspace(0, -4, 100)
+    log = str(tmp_path / "flight.npy")
+    np.save(log, states)
+    out = replay.main([
+        "--log", log, "--mode", "orbit", "--every", "25",
+        "--width", "80", "--height", "60", "--out", str(tmp_path / "frames"),
+    ])
+    assert len(out["frames"]) == 4
+    import os as _os
+
+    assert all(_os.path.getsize(f) > 100 for f in out["frames"])

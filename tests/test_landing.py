@@ -187,3 +187,25 @@ def test_landing_fixture_lands():
     out = eval_fn(lp, jax.random.PRNGKey(11))
     assert float(out["eval_finished"]) == 1.0
     assert float(out["eval_solved"]) >= 0.75, dict(out)
+
+
+def test_conv3d_variant_forward():
+    """Stacked-frame CNN variant (reference conv3D_forward, disabled by
+    default there): forward shapes + image-history ring semantics."""
+    from autonomous_quadrotor_environment_tpu.landing.networks import ImageHistory
+
+    model = LandingActorCritic(conv_3d=True)
+    frames = jnp.zeros((2, 5, 84, 84, 3))
+    sens = jnp.zeros((2, 75))
+    params = model.init(jax.random.PRNGKey(0), frames, sens, jnp.zeros((2, 3)))
+    mean, value, log_std = model.apply(params, frames, sens)
+    assert mean.shape == (2, 3) and value.shape == (2,)
+
+    buf = ImageHistory.init(7)
+    f1 = jnp.ones((84, 84, 3))
+    buf = ImageHistory.push(buf, f1)
+    buf = ImageHistory.push(buf, f1 * 2)
+    assert float(buf[0, 0, 0, 0]) == 2.0 and float(buf[1, 0, 0, 0]) == 1.0
+    sel = ImageHistory.select(buf)
+    assert sel.shape == (5, 84, 84, 3)
+    assert float(sel[-1, 0, 0, 0]) == 2.0  # time index 0 = newest
