@@ -73,12 +73,13 @@ def plot_training_curves(curves: dict, path: str, metric: str = "reward") -> str
 def plot_landing_stats(
     errors: np.ndarray,   # (E, T, 3) per-episode position errors over time
     path: str,
+    dt: float = 0.01,     # seconds per sample (0.1 for per-decision samples)
 ) -> str:
     """Mean ± std landing-error envelopes (reference rl_eval_worker.py:
     306-348: mean/std error plots over the 100-episode benchmark)."""
     plt = _plt()
     fig, axs = plt.subplots(3, 1, figsize=(7, 7), sharex=True)
-    t = np.arange(errors.shape[1]) * 0.01
+    t = np.arange(errors.shape[1]) * dt
     for i, lab in enumerate(["x", "y", "z"]):
         mean = errors[:, :, i].mean(0)
         std = errors[:, :, i].std(0)
