@@ -54,11 +54,20 @@ def sample_domain(key: jax.Array, cfg: RandomizationConfig, dtype=jnp.float32) -
         return zeros_domain(dtype)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     gust_std = jnp.asarray(cfg.gust_std, dtype)
+    # The normal factors are clipped to +/-2 sigma: the reference samples
+    # unbounded normals (quadrotor_env.py:98-100), which at our batched
+    # episode counts eventually draws mass_factor <= -1 (non-positive mass,
+    # NaN dynamics) — a latent reference bug surfaced by scale, fixed as a
+    # documented divergence.
     return DomainParams(
         kf_degrade=jax.random.uniform(k1, (4,), dtype) * cfg.d_kf,
-        mass_factor=jax.random.normal(k2, (), dtype) * cfg.d_m,
+        mass_factor=jnp.clip(
+            jax.random.normal(k2, (), dtype) * cfg.d_m, -2.0 * cfg.d_m, 2.0 * cfg.d_m
+        ),
         ir_factor=jax.random.uniform(k3, (4,), dtype) * cfg.d_ir,
-        j_factor=jax.random.normal(k4, (3,), dtype) * cfg.d_j,
+        j_factor=jnp.clip(
+            jax.random.normal(k4, (3,), dtype) * cfg.d_j, -2.0 * cfg.d_j, 2.0 * cfg.d_j
+        ),
         gust_last=jnp.zeros(3, dtype),
         gust_next=jax.random.normal(k5, (3,), dtype) * gust_std,
     )
