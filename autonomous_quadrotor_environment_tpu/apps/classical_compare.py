@@ -136,6 +136,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> dict:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     keys = jax.random.split(jax.random.PRNGKey(args.seed), N_EPISODES)
     env_ind = EnvConfig(n_steps=MAX_STEPS, direct_control=False, training=True,

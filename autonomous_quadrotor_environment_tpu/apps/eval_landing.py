@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> dict:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     ctrl_model, ctrl_params = load_controller(args.controller, args.controller_size)
     cfgs = LandingConfigs.default(training=False)

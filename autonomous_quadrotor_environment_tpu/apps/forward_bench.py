@@ -30,6 +30,9 @@ def build_parser():
 
 
 def main(argv=None) -> list[dict]:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     results = []
     for n in SIZES:

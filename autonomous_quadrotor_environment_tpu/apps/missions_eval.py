@@ -200,6 +200,9 @@ def build_parser():
 
 
 def main(argv=None) -> dict:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     scfg = SensorConfig()

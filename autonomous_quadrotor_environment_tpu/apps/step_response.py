@@ -75,6 +75,9 @@ def build_parser():
 
 
 def main(argv=None) -> dict:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     env_cfg = EnvConfig(n_steps=args.steps, training=False)
     model = ActorCritic(hidden=args.policy_size)

@@ -38,6 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="policy decisions per env per update")
     p.add_argument("--eval-every", type=int, default=10)
     p.add_argument("--eval-episodes", type=int, default=20)
+    p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0 = single)")
     p.add_argument("--out", type=str, default="runs/landing")
     p.add_argument("--resume", type=str, default=None,
                    help="landing checkpoint to continue from (the reference "
@@ -53,24 +54,43 @@ def load_controller(path: str, size: int):
 
 
 def main(argv=None) -> dict:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     ctrl_model, ctrl_params = load_controller(args.controller, args.controller_size)
     cfgs = LandingConfigs.default(training=True)
     ppo_cfg = PPOConfig.landing_variant()
 
-    model, tx, state = landing_ppo_init(
-        jax.random.PRNGKey(args.seed), cfgs, ppo_cfg, args.num_envs,
-        ctrl_model, ctrl_params,
-    )
+    if args.dp > 0:
+        from ..parallel import (
+            landing_ppo_init_sharded,
+            make_dp_mesh,
+            make_landing_parallel_train_step,
+        )
+
+        mesh = make_dp_mesh(args.dp)
+        model, tx, state = landing_ppo_init_sharded(
+            jax.random.PRNGKey(args.seed), cfgs, ppo_cfg, args.num_envs,
+            ctrl_model, ctrl_params, mesh,
+        )
+        train_step = make_landing_parallel_train_step(
+            model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, args.rollout_steps, mesh
+        )
+    else:
+        model, tx, state = landing_ppo_init(
+            jax.random.PRNGKey(args.seed), cfgs, ppo_cfg, args.num_envs,
+            ctrl_model, ctrl_params,
+        )
+        train_step = jax.jit(
+            make_landing_train_step(
+                model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, args.rollout_steps
+            )
+        )
     if args.resume:
         params = load_params(args.resume, state.params)
         state = state.replace(params=params, opt_state=tx.init(params))
         print(f"resumed from {args.resume}")
-    train_step = jax.jit(
-        make_landing_train_step(
-            model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, args.rollout_steps
-        )
-    )
     eval_fn = jax.jit(
         make_landing_eval_fn(model, cfgs, ctrl_model, ctrl_params, args.eval_episodes)
     )

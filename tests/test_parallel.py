@@ -51,3 +51,34 @@ def test_dp_envs_are_sharded():
     x = state.env_states.x  # (16, 13) sharded over dp
     assert len(x.addressable_shards) == 8
     assert x.addressable_shards[0].data.shape[0] == 2
+
+
+def test_dp_landing_train_step_on_8_device_mesh():
+    """Data-parallel landing PPO over the virtual mesh: compiles, executes,
+    keeps params replicated."""
+    from autonomous_quadrotor_environment_tpu.agents.networks import ActorCritic
+    from autonomous_quadrotor_environment_tpu.landing.env import LandingConfigs
+    from autonomous_quadrotor_environment_tpu.parallel import (
+        landing_ppo_init_sharded,
+        make_landing_parallel_train_step,
+    )
+
+    mesh = make_dp_mesh(8)
+    cfgs = LandingConfigs.default(training=True)
+    ppo_cfg = PPOConfig.landing_variant()
+    ppo_cfg = ppo_cfg.__class__(**{**ppo_cfg.__dict__, "k_epochs": 1, "minibatch_size": 8})
+    ctrl = ActorCritic(hidden=16)
+    ctrl_params = ctrl.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
+    model, tx, state = landing_ppo_init_sharded(
+        jax.random.PRNGKey(0), cfgs, ppo_cfg, num_envs=8, ctrl_model=ctrl,
+        ctrl_params=ctrl_params, mesh=mesh,
+    )
+    train_step = make_landing_parallel_train_step(
+        model, tx, cfgs, ppo_cfg, ctrl, ctrl_params, rollout_steps=2, mesh=mesh
+    )
+    state, metrics = train_step(state)
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = jax.tree.leaves(state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
