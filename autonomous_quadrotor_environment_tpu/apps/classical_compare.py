@@ -8,7 +8,7 @@ starts, success = ||(vel, ang, ang_vel)|| < 0.05, plus per-controller
 settling time, max overshoot, and control effort. All three controllers run
 as batched scans on-device; the result table prints as JSON and saves the
 per-step logs as .npz (the reference's .npy memory_array layout:
-[vel(3), ang(3), ang_vel(3), effort(4)] per step).
+[vel(3), ang(3), ang_vel(3), cumulative-effort(1)] per step).
 """
 
 from __future__ import annotations
@@ -38,8 +38,13 @@ MAX_STEPS = 500
 SUCCESS_NORM = 0.05  # reference results_analyzer.py:23-27
 
 
-def _log_step(env_s, effort4):
-    return jnp.concatenate([env_s.x[1:6:2], env_s.ang, env_s.ang_vel, effort4])
+def _log_step(env_s):
+    """[vel(3), ang(3), ang_vel(3), cumulative effort(1)] — the env carries
+    the control-effort accumulator (reference quad.abs_sum,
+    quadrotor_env.py:575-577)."""
+    return jnp.concatenate(
+        [env_s.x[1:6:2], env_s.ang, env_s.ang_vel, env_s.abs_sum[None]]
+    )
 
 
 def run_pid(env_cfg: EnvConfig, keys) -> np.ndarray:
@@ -57,8 +62,7 @@ def run_pid(env_cfg: EnvConfig, keys) -> np.ndarray:
                 env_cfg.physics, env_cfg.dt,
             )
             env_s, _ = hover.step(env_s, action, env_cfg)
-            # indirect-mode step_effort is the normalized motor command
-            return (env_s, pid_s), _log_step(env_s, jnp.zeros(4))
+            return (env_s, pid_s), _log_step(env_s)
 
         (_, _), log = jax.lax.scan(body, (env_s, pid_s), None, length=MAX_STEPS)
         return log
@@ -79,7 +83,7 @@ def run_lqr(env_cfg: EnvConfig, keys) -> np.ndarray:
                 env_cfg.physics, env_cfg.dt,
             )
             env_s, _ = hover.step(env_s, action, env_cfg)
-            return (env_s, euler_ant), _log_step(env_s, jnp.zeros(4))
+            return (env_s, euler_ant), _log_step(env_s)
 
         (_, _), log = jax.lax.scan(body, (env_s, jnp.zeros(3)), None, length=MAX_STEPS)
         return log
@@ -97,7 +101,7 @@ def run_rl(env_cfg_direct: EnvConfig, keys, model, params) -> np.ndarray:
             env_s = carry
             action = model.apply(params, env_s.hist, method="actor_mean")
             env_s, _ = hover.step(env_s, action, env_cfg_direct)
-            return env_s, _log_step(env_s, action)
+            return env_s, _log_step(env_s)
 
         env_s, log = jax.lax.scan(body, env_s, None, length=MAX_STEPS)
         return log
@@ -116,7 +120,7 @@ def analyze(log: np.ndarray, dt: float = 0.01) -> dict:
         [0.0 if not o.any() else (np.max(np.nonzero(o)[0]) + 1) * dt for o in outside]
     )
     overshoot = norm.max(axis=1)
-    effort = np.abs(log[:, :, 9:13]).sum(axis=(1, 2))
+    effort = log[:, -1, 9]  # final cumulative control effort per episode
     return {
         "success_rate": float(success.mean()),
         "settling_time_mean_s": float(settling[success].mean()) if success.any() else None,
