@@ -156,8 +156,9 @@ class EnvConfig:
     bb_ang_psi: float = 3.0 / 4.0 * math.pi
     bb_ang_vel: float = BB_VEL * 2
     bb_scale: float = 1.0         # opt-env eval multiplies all bounds by 1000
-    # opt env also terminates on i >= n inside done_condition (:420-421)
-    done_at_max_steps: bool = True
+    # (both reference env variants terminate at i >= n — the primary inside
+    # reward_function :567-570, the opt inside done_condition :420-421 —
+    # so timeout here is unconditional, envs/rewards.py:86)
     # opt env logs direct-mode step effort in Newtons, (a+1)*T2WR*M*G/8
     # (quadrotor_env_opt.py:384), primary env in normalized units (:474).
     effort_is_force: bool = False
