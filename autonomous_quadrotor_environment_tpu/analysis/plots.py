@@ -92,3 +92,33 @@ def plot_landing_stats(
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def plot_controller_comparison(
+    logs: dict,   # {"pid": (E, T, >=10) log, "lqr": ..., "rl": ...}
+    path: str,
+    dt: float = 0.01,
+) -> str:
+    """Same-start controller comparison: mean state norm (vel, ang, ang_vel)
+    vs time per controller (reference classical_controller_results/
+    results_analyzer_same.py:16-71 figures)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for name, log in logs.items():
+        norm = np.linalg.norm(log[:, :, 0:9], axis=-1)
+        t = np.arange(norm.shape[1]) * dt
+        # median + IQR: episodes that leave the bounding box keep integrating
+        # (the reference's fixed-500-step protocol) and would swamp a mean
+        med = np.median(norm, 0)
+        ax.plot(t, med, label=f"{name} (median of {norm.shape[0]} eps)")
+        ax.fill_between(t, np.quantile(norm, 0.25, 0), np.quantile(norm, 0.75, 0), alpha=0.2)
+    ax.axhline(0.05, color="k", ls=":", lw=1, label="success band (0.05)")
+    ax.set_yscale("log")
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("‖vel, ang, ang-vel‖")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
