@@ -238,11 +238,17 @@ def physics_step(
     direct_control: bool = True,
     clipped: bool = True,
     randomize: bool = False,
+    compute_accel_aux: bool = True,
 ) -> tuple[jnp.ndarray, StepAux]:
     """One environment physics step: resolve motors, integrate, renormalize.
 
     Mirrors reference quadrotor_env.py:458-498 (without reward/done — those
     live in envs/). Returns the new 13-state and post-step diagnostics.
+
+    ``compute_accel_aux=False`` skips the extra post-step RHS evaluation
+    that only the sensor models consume (accel / accelerometer_read come
+    back as zeros) — a ~20% FLOP cut on the pure-control hot path, where
+    the env step needs only v_q and the motor outputs.
     """
     dtype = x.dtype
     action = jnp.asarray(action, dtype)
@@ -259,16 +265,20 @@ def physics_step(
     # Renormalize the quaternion (the reference normalizes on read, :488-489).
     x_new = x_new.at[6:10].set(quat_normalize(x_new[6:10]))
 
-    # Post-step diagnostics at the new state.
-    dx = deriv(x_new)
-    accel = dx[1:6:2]
     rot = quat_rot_mat(x_new[6:10])
-    # Reference quadrotor_env.py:371 (formula replicated as-is, including its
-    # double-gravity quirk: accel already contains -G, and -G is added again
-    # before rotating into the body frame — the sensor pipeline downstream
-    # compensates, see envs/sensors.py).
-    grav = jnp.asarray([0.0, 0.0, -phys.gravity], dtype)
-    accelerometer_read = rot.T @ (accel + grav)
+    if compute_accel_aux:
+        # Post-step diagnostics at the new state.
+        dx = deriv(x_new)
+        accel = dx[1:6:2]
+        # Reference quadrotor_env.py:371 (formula replicated as-is, including
+        # its double-gravity quirk: accel already contains -G, and -G is
+        # added again before rotating into the body frame — the sensor
+        # pipeline downstream compensates, see envs/sensors.py).
+        grav = jnp.asarray([0.0, 0.0, -phys.gravity], dtype)
+        accelerometer_read = rot.T @ (accel + grav)
+    else:
+        accel = jnp.zeros(3, dtype)
+        accelerometer_read = jnp.zeros(3, dtype)
     v_q = deriv_quat(x_new[10:13], quat_normalize(x_new[6:10]))
 
     aux = StepAux(

@@ -151,6 +151,10 @@ def step(state: EnvState, action: jnp.ndarray, cfg: EnvConfig) -> tuple[EnvState
         direct_control=cfg.direct_control,
         clipped=cfg.clipped,
         randomize=rand,
+        # The env step itself needs only v_q + motor outputs; sensor users
+        # re-derive the accelerometer aux from the pre-step state themselves
+        # (envs/sensors.py consumers call physics_step directly).
+        compute_accel_aux=False,
     )
 
     # Attitude bookkeeping (reference :488-494).
