@@ -96,6 +96,28 @@ def ppo_init(
     )
 
 
+def _where_done(done: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-env select with `done` (B,) broadcast over trailing leaf dims.
+    Typed PRNG-key leaves are selected on their raw uint32 data (jnp.where
+    rejects the key dtype)."""
+    if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+        raw = _where_done(done, jax.random.key_data(a), jax.random.key_data(b))
+        return jax.random.wrap_key_data(raw)
+    return jnp.where(done.reshape(done.shape + (1,) * (a.ndim - 1)), a, b)
+
+
+def _match_key_repr(pool_leaf: jnp.ndarray, carry_leaf: jnp.ndarray) -> jnp.ndarray:
+    """Downgrade typed PRNG-key leaves in a freshly built reset pool to raw
+    uint32 when the rollout carry stores raw key data (the dp shard_map path
+    keeps keys raw so they shard like any array); scan requires carry
+    input/output types to match exactly."""
+    typed_pool = jnp.issubdtype(pool_leaf.dtype, jax.dtypes.prng_key)
+    typed_carry = jnp.issubdtype(carry_leaf.dtype, jax.dtypes.prng_key)
+    if typed_pool and not typed_carry:
+        return jax.random.key_data(pool_leaf)
+    return pool_leaf
+
+
 def rollout_batch(
     model: ActorCritic,
     params,
@@ -103,6 +125,7 @@ def rollout_batch(
     key: jax.Array,
     env_cfg: EnvConfig,
     steps: int,
+    reset_pool: int = 4,
 ) -> tuple[hover.EnvState, Rollout, jnp.ndarray]:
     """Collect `steps` transitions from every env in the batch.
 
@@ -113,19 +136,62 @@ def rollout_batch(
     featurizer window between episodes (the `aux_dl.reset()` at ppo.py:236
     is commented out), leaking the previous episode's tail into the first
     observations; our window is zeroed at reset.
+
+    Auto-reset pulls from a per-rollout POOL of `reset_pool` precomputed
+    fresh episodes per env instead of recomputing a full reset — including
+    its `warmup`-step scan — for every env at every step (which multiplied
+    hot-path physics work ~(1+warmup)x; round-1 advisor finding). The pool
+    states are i.i.d. draws from the same reset distribution, so training
+    semantics are unchanged. If an env finishes more than `reset_pool`
+    episodes in one rollout the pool wraps around: the initial state (and
+    domain draw) repeats, but the env's RNG key is freshly split each time,
+    so wind/noise — and the policy's sampling — still diverge.
+    `reset_pool=0` falls back to exact per-step resets (`step_autoreset`).
     """
+    if reset_pool <= 0:
+        def body0(states, step_key):
+            obs = states.hist
+            mean, value, log_std = model.apply(params, obs)
+            dist = DiagGaussian(mean, log_std)
+            action = dist.sample(step_key)
+            logprob = dist.log_prob(action)
+            states, out = jax.vmap(lambda s, a: hover.step_autoreset(s, a, env_cfg))(
+                states, action
+            )
+            return states, Rollout(
+                obs=obs, actions=action, logprobs=logprob, values=value,
+                rewards=out.reward, dones=out.done, solved=out.solved,
+            )
+
+        keys = jax.random.split(key, steps)
+        env_states, roll = jax.lax.scan(body0, env_states, keys)
+        _, bootstrap, _ = model.apply(params, env_states.hist)
+        return env_states, roll, bootstrap
+
+    b = env_states.i.shape[0]
+    k_pool, k_steps = jax.random.split(key)
+    pool_keys = jax.random.split(k_pool, (reset_pool, b))
+    pool = jax.vmap(jax.vmap(lambda k: hover.reset(k, env_cfg)))(pool_keys)
+    pool = jax.tree.map(_match_key_repr, pool, env_states)
+    env_idx = jnp.arange(b)
 
     def body(carry, step_key):
-        states = carry
+        states, slot = carry
         obs = states.hist
         mean, value, log_std = model.apply(params, obs)
         dist = DiagGaussian(mean, log_std)
         action = dist.sample(step_key)
         logprob = dist.log_prob(action)
-        states, out = jax.vmap(lambda s, a: hover.step_autoreset(s, a, env_cfg))(
-            states, action
+        stepped, out = jax.vmap(lambda s, a: hover.step(s, a, env_cfg))(states, action)
+        split = jax.vmap(lambda k: jax.random.split(k))(stepped.key)  # (B, 2, 2)
+        fresh = jax.tree.map(lambda p: p[slot % reset_pool, env_idx], pool)
+        fresh = fresh.replace(key=split[:, 1])
+        stepped = stepped.replace(key=split[:, 0])
+        states = jax.tree.map(
+            lambda a, c: _where_done(out.done, a, c), fresh, stepped
         )
-        return states, Rollout(
+        slot = slot + out.done.astype(jnp.int32)
+        return (states, slot), Rollout(
             obs=obs,
             actions=action,
             logprobs=logprob,
@@ -135,8 +201,10 @@ def rollout_batch(
             solved=out.solved,
         )
 
-    keys = jax.random.split(key, steps)
-    env_states, roll = jax.lax.scan(body, env_states, keys)
+    keys = jax.random.split(k_steps, steps)
+    (env_states, _slot), roll = jax.lax.scan(
+        body, (env_states, jnp.zeros(b, jnp.int32)), keys
+    )
     _, bootstrap, _ = model.apply(params, env_states.hist)
     return env_states, roll, bootstrap
 
@@ -196,14 +264,32 @@ def ppo_update(
     n = obs.shape[0]
     mb = cfg.minibatch_size if cfg.minibatch_size > 0 else n
     n_mb = max(n // mb, 1)
+    # Block-granular shuffle (see PPOConfig.shuffle_block): permuting
+    # contiguous row blocks turns the minibatch extraction into DMA-friendly
+    # block gathers instead of 131072 random-row gathers (~5x on TPU). Rows
+    # of the flattened (T, B) batch are different envs at one timestep, so
+    # block members are i.i.d. samples.
+    block = max(cfg.shuffle_block, 1)
+    if n % block != 0 or mb % block != 0:
+        block = 1
+    # Full-batch updates (the reference's state PPO, minibatch_size=0) use
+    # every row each step — shuffling is a no-op on the mean loss, skip it.
+    full_batch = n_mb == 1 and mb >= n
 
     def epoch(carry, epoch_key):
         params, opt_state = carry
-        perm = jax.random.permutation(epoch_key, n)
+        perm = jax.random.permutation(epoch_key, n // block)
 
         def minibatch(carry, idx):
             params, opt_state = carry
-            batch = lambda x: jnp.take(x, idx, axis=0)
+            if full_batch:
+                batch = lambda x: x
+            elif block > 1:
+                batch = lambda x: x.reshape((n // block, block) + x.shape[1:])[
+                    idx
+                ].reshape((mb,) + x.shape[1:])
+            else:
+                batch = lambda x: jnp.take(x, idx, axis=0)
             (loss, metrics), grads = jax.value_and_grad(
                 lambda p: ppo_loss(
                     model, p, batch(obs), batch(actions), batch(old_lp),
@@ -217,7 +303,7 @@ def ppo_update(
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, metrics)
 
-        idxs = perm[: n_mb * mb].reshape(n_mb, mb)
+        idxs = perm[: n_mb * (mb // block)].reshape(n_mb, mb // block)
         (params, opt_state), (losses, metrics) = jax.lax.scan(
             minibatch, (params, opt_state), idxs
         )
@@ -245,7 +331,8 @@ def make_train_step(
     def train_step(state: PPOTrainState) -> tuple[PPOTrainState, dict]:
         key, k_roll, k_upd = jax.random.split(state.key, 3)
         env_states, roll, bootstrap = rollout_batch(
-            model, state.params, state.env_states, k_roll, env_cfg, train_cfg.rollout_steps
+            model, state.params, state.env_states, k_roll, env_cfg,
+            train_cfg.rollout_steps, reset_pool=train_cfg.reset_pool,
         )
         params, opt_state, metrics = ppo_update(
             model, tx, state.params, state.opt_state, roll, bootstrap, k_upd,
@@ -279,20 +366,28 @@ def make_eval_fn(model: ActorCritic, env_cfg: EnvConfig, episodes: int, max_step
     :243-245), reporting mean reward, mean length, and solved fraction."""
     max_steps = max_steps or env_cfg.max_steps
 
+    settle_steps = max_steps // 5
+
     def eval_fn(params, key: jax.Array):
         keys = jax.random.split(key, episodes)
         env_states = jax.vmap(lambda k: hover.reset(k, env_cfg))(keys)
 
-        def body(carry, _):
-            states, finished, reward_sum, solved, length = carry
+        def body(carry, i):
+            states, finished, reward_sum, solved, length, v2_sum, v2_n = carry
             mean, _v, _s = model.apply(params, states.hist)
             states, out = jax.vmap(lambda s, a: hover.step(s, a, env_cfg))(states, mean)
             active = ~finished
             reward_sum = reward_sum + out.reward * active
             solved = jnp.logical_or(solved, jnp.logical_and(out.solved, active))
             length = length + active.astype(jnp.int32)
+            # Station-keeping accumulator (robust criterion): |vel|^2 over
+            # active steps after the settling window.
+            late = jnp.logical_and(active, i >= settle_steps)
+            vel2 = jnp.sum(states.x[:, 1:6:2] ** 2, axis=-1)
+            v2_sum = v2_sum + vel2 * late
+            v2_n = v2_n + late.astype(jnp.float32)
             finished = jnp.logical_or(finished, out.done)
-            return (states, finished, reward_sum, solved, length), None
+            return (states, finished, reward_sum, solved, length, v2_sum, v2_n), None
 
         b = episodes
         init = (
@@ -301,14 +396,26 @@ def make_eval_fn(model: ActorCritic, env_cfg: EnvConfig, episodes: int, max_step
             jnp.zeros(b, jnp.float32),
             jnp.zeros(b, bool),
             jnp.zeros(b, jnp.int32),
+            jnp.zeros(b, jnp.float32),
+            jnp.zeros(b, jnp.float32),
         )
-        (states, finished, reward_sum, solved, length), _ = jax.lax.scan(
-            body, init, None, length=max_steps
+        (states, finished, reward_sum, solved, length, v2_sum, v2_n), _ = jax.lax.scan(
+            body, init, jnp.arange(max_steps)
         )
+        rms_vel = jnp.sqrt(v2_sum / jnp.maximum(v2_n, 1.0))
+        # An episode "survives" if it solved or was never terminated early
+        # (bounding-box exits end episodes before the step budget).
+        survived = jnp.logical_or(solved, length >= max_steps)
+        # Robust station-keeping solve (see apps/train_control --robust):
+        # survive AND hold post-settle RMS velocity under 0.5 m/s.
+        station = jnp.logical_and(survived, rms_vel < 0.5)
         return {
             "eval_reward": jnp.mean(reward_sum),
             "eval_length": jnp.mean(length.astype(jnp.float32)),
             "eval_solved": jnp.mean(solved.astype(jnp.float32)),
+            "eval_survived": jnp.mean(survived.astype(jnp.float32)),
+            "eval_rms_vel_late": jnp.mean(rms_vel),
+            "eval_station_keeping": jnp.mean(station.astype(jnp.float32)),
         }
 
     return eval_fn

@@ -1,14 +1,33 @@
 """Classical-controller comparison: PID vs LQR vs RL, identical seeds.
 
-Replaces the reference's same-start comparison protocol
-(reference: lqr_quad.py:11-12,118-171, pid_vel_control.py:130-173,
-ppo_quad_eval.py:33-66, analyzed by classical_controller_results/
-results_analyzer.py:12-84): 20 episodes x 500 steps from identical random
-starts, success = ||(vel, ang, ang_vel)|| < 0.05, plus per-controller
-settling time, max overshoot, and control effort. All three controllers run
-as batched scans on-device; the result table prints as JSON and saves the
-per-step logs as .npz (the reference's .npy memory_array layout:
-[vel(3), ang(3), ang_vel(3), cumulative-effort(1)] per step).
+Reproduces the reference's five-leg same-start comparison
+(reference: lqr_quad.py:10-171, pid_vel_control.py:15-173,
+ppo_quad_eval.py:25-66, analyzed by classical_controller_results/
+results_analyzer.py:7-90): 20 episodes x 500 steps from the SAME seeded
+initial states, legs = {LQR, LQR-unclipped, PID, PID-unclipped, RL}.
+
+Fidelity notes (each replicated exactly):
+  * Initial states: the reference seeds numpy (`env.seed(1)`) and draws, per
+    episode, the robust-parameter block (quadrotor_env.py:98-101) followed by
+    the reset state (quadrotor_env.py:440-445). `reference_start_states`
+    replays that exact `np.random` stream, so our episodes start from the
+    reference's literal 20 states.
+  * Warmup: LQR runs T=1 (lqr_quad.py:115-118), PID and RL run T=5
+    (pid_vel_control.py:132, ppo_quad_eval.py:30-33).
+  * Loop order: PID steps FIRST with the hover action then computes the next
+    action from the post-step state (pid_vel_control.py:137-155); LQR and RL
+    compute the action first (lqr_quad.py:125-165, ppo_quad_eval.py:50-60).
+  * "clipped" selects BOTH the env's motor-saturation flag and the
+    controller's gain/weight set (pid_vel_control.py:17-27,
+    lqr_quad.py:23-62). RL has one leg (direct control, training=False).
+  * Log layout (E, 500, 13) = [vel(3), ang(3), ang_vel(3), step_effort(4)]
+    per step — the reference's memory_array — saved as .npy-compatible .npz.
+  * Metrics (results_analyzer.py:23-90): success = ||last[0:4]|| < 0.05;
+    settling time / overshoot / control effort (Newtons via
+    (a+1)*M*G*T2WR/8) averaged over successful episodes only.
+
+Reference numbers from their committed logs under this exact analyzer:
+LQR 70%, LQR-unclipped 75%, PID 0%, PID-unclipped 100%, RL 100%.
 """
 
 from __future__ import annotations
@@ -24,12 +43,16 @@ import numpy as np
 from ..agents.networks import ActorCritic
 from ..baselines import (
     VELOCITY_GAINS,
+    VELOCITY_GAINS_UNCLIPPED,
     cascaded_pid_control,
     cascaded_pid_init,
     lqr_control,
     make_lqr_gains,
 )
-from ..config import EnvConfig
+from ..config import BB_POS, BB_VEL, EnvConfig
+from ..core.dynamics import f2F, f2w
+from ..core.quaternion import euler_quat
+from ..core.randomization import zeros_domain
 from ..envs import hover
 from ..utils import load_params
 
@@ -38,43 +61,89 @@ MAX_STEPS = 500
 SUCCESS_NORM = 0.05  # reference results_analyzer.py:23-27
 
 
-def _log_step(env_s):
-    """[vel(3), ang(3), ang_vel(3), cumulative effort(1)] — the env carries
-    the control-effort accumulator (reference quad.abs_sum,
-    quadrotor_env.py:575-577)."""
+def reference_start_states(n_episodes: int = N_EPISODES, seed: int = 1) -> np.ndarray:
+    """The reference's exact seeded initial states (quadrotor_env.py:426-445).
+
+    `env.seed(seed)` calls `np.random.seed` (:193); each `reset()` then
+    consumes, in order: the robust-parameter draws (random(4), normal(0,.3,1),
+    random(4), normal(0,.1,3) — :98-101, drawn even with robust control off)
+    and the state draws (:440-445). Replaying the stream yields the literal
+    start states behind the committed same-start logs.
+    """
+    np.random.seed(seed)
+    states = np.zeros((n_episodes, 13))
+    for j in range(n_episodes):
+        np.random.random(4)
+        np.random.normal(0, 0.3, 1)
+        np.random.random(4)
+        np.random.normal(np.zeros(3), 0.1, [3])
+        ang = np.random.rand(3) - 0.5
+        q = np.asarray(euler_quat(jnp.asarray(ang)))
+        pos = np.clip(np.random.normal([0, 0, 0], 2), -BB_POS / 2, BB_POS / 2)
+        vel = np.clip(np.random.normal([0, 0, 0], 2), -BB_VEL / 2, BB_VEL / 2)
+        omega = np.clip(np.random.normal([0, 0, 0], 2), -BB_VEL * 1.5, BB_POS * 1.5)
+        states[j, 0:5:2] = pos
+        states[j, 1:6:2] = vel
+        states[j, 6:10] = q
+        states[j, 10:13] = omega
+    return states
+
+
+def _step_effort(action: jnp.ndarray, env_cfg: EnvConfig) -> jnp.ndarray:
+    """Per-motor normalized effort of the step just taken (reference
+    env.step_effort, quadrotor_env.py:222-244 / :268)."""
+    dom = zeros_domain(action.dtype)
+    if env_cfg.direct_control:
+        return f2F(action, env_cfg.physics, dom).step_effort
+    return f2w(
+        action[0], action[1:4], env_cfg.physics, dom, clipped=env_cfg.clipped
+    ).step_effort
+
+
+def _log_step(env_s, action, env_cfg) -> jnp.ndarray:
+    """[vel(3), ang(3), ang_vel(3), step_effort(4)] — the reference's
+    memory_step (lqr_quad.py:165, pid_vel_control.py:156)."""
     return jnp.concatenate(
-        [env_s.x[1:6:2], env_s.ang, env_s.ang_vel, env_s.abs_sum[None]]
+        [env_s.x[1:6:2], env_s.ang, env_s.ang_vel, _step_effort(action, env_cfg)]
     )
 
 
-def run_pid(env_cfg: EnvConfig, keys) -> np.ndarray:
-    """Velocity-regulation cascaded PID (reference pid_vel_control.py)."""
+def run_pid(env_cfg: EnvConfig, starts: np.ndarray, gains) -> np.ndarray:
+    """Velocity-regulation cascaded PID, step-first loop
+    (reference pid_vel_control.py:137-156)."""
+    phys = env_cfg.physics
+    hover_action = jnp.asarray([phys.gravity * phys.mass, 0.0, 0.0, 0.0])
 
-    def episode(key):
-        env_s = hover.reset(key, env_cfg)
+    def episode(x0):
+        env_s = hover.reset(jax.random.PRNGKey(0), env_cfg, det_state=x0)
         pid_s = cascaded_pid_init()
 
         def body(carry, _):
-            env_s, pid_s = carry
+            env_s, pid_s, action = carry
+            env_s, _ = hover.step(env_s, action, env_cfg)
+            log = _log_step(env_s, action, env_cfg)
             pid_s, action = cascaded_pid_control(
                 pid_s, env_s.x[1:6:2], jnp.zeros(3), env_s.ang, env_s.ang_vel,
-                jnp.zeros(3), jnp.zeros(3), jnp.zeros(()), VELOCITY_GAINS,
-                env_cfg.physics, env_cfg.dt,
+                jnp.zeros(3), jnp.zeros(3), jnp.zeros(()), gains,
+                phys, env_cfg.dt,
             )
-            env_s, _ = hover.step(env_s, action, env_cfg)
-            return (env_s, pid_s), _log_step(env_s)
+            return (env_s, pid_s, action), log
 
-        (_, _), log = jax.lax.scan(body, (env_s, pid_s), None, length=MAX_STEPS)
+        (_, _, _), log = jax.lax.scan(
+            body, (env_s, pid_s, hover_action), None, length=MAX_STEPS
+        )
         return log
 
-    return np.asarray(jax.jit(jax.vmap(episode))(keys))
+    return np.asarray(jax.jit(jax.vmap(episode))(jnp.asarray(starts, jnp.float32)))
 
 
-def run_lqr(env_cfg: EnvConfig, keys) -> np.ndarray:
+def run_lqr(env_cfg: EnvConfig, starts: np.ndarray) -> np.ndarray:
+    """Velocity-regulation double-loop LQR, act-then-step loop
+    (reference lqr_quad.py:125-165)."""
     gains = make_lqr_gains(env_cfg.physics, clipped=env_cfg.clipped)
 
-    def episode(key):
-        env_s = hover.reset(key, env_cfg)
+    def episode(x0):
+        env_s = hover.reset(jax.random.PRNGKey(0), env_cfg, det_state=x0)
 
         def body(carry, _):
             env_s, euler_ant = carry
@@ -83,58 +152,100 @@ def run_lqr(env_cfg: EnvConfig, keys) -> np.ndarray:
                 env_cfg.physics, env_cfg.dt,
             )
             env_s, _ = hover.step(env_s, action, env_cfg)
-            return (env_s, euler_ant), _log_step(env_s)
+            return (env_s, euler_ant), _log_step(env_s, action, env_cfg)
 
-        (_, _), log = jax.lax.scan(body, (env_s, jnp.zeros(3)), None, length=MAX_STEPS)
+        (_, _), log = jax.lax.scan(body, (env_s, env_s.ang), None, length=MAX_STEPS)
         return log
 
-    return np.asarray(jax.jit(jax.vmap(episode))(keys))
+    return np.asarray(jax.jit(jax.vmap(episode))(jnp.asarray(starts, jnp.float32)))
 
 
-def run_rl(env_cfg_direct: EnvConfig, keys, model, params) -> np.ndarray:
-    """The trained PPO controller (reference ppo_quad_eval.py:44-62)."""
+def run_rl(env_cfg_direct: EnvConfig, starts: np.ndarray, model, params) -> np.ndarray:
+    """The trained PPO controller, deterministic actor
+    (reference ppo_quad_eval.py:44-62: training=False, T=5)."""
 
-    def episode(key):
-        env_s = hover.reset(key, env_cfg_direct)
+    def episode(x0):
+        env_s = hover.reset(jax.random.PRNGKey(0), env_cfg_direct, det_state=x0)
 
-        def body(carry, _):
-            env_s = carry
+        def body(env_s, _):
             action = model.apply(params, env_s.hist, method="actor_mean")
             env_s, _ = hover.step(env_s, action, env_cfg_direct)
-            return env_s, _log_step(env_s)
+            return env_s, _log_step(env_s, action, env_cfg_direct)
 
         env_s, log = jax.lax.scan(body, env_s, None, length=MAX_STEPS)
         return log
 
-    return np.asarray(jax.jit(jax.vmap(episode))(keys))
+    return np.asarray(jax.jit(jax.vmap(episode))(jnp.asarray(starts, jnp.float32)))
 
 
-def analyze(log: np.ndarray, dt: float = 0.01) -> dict:
-    """Success/settling/overshoot/effort table (reference
-    results_analyzer.py:12-84): state norm over [vel, ang, ang_vel]."""
-    norm = np.linalg.norm(log[:, :, 0:9], axis=-1)  # (E, T)
-    success = norm[:, -1] < SUCCESS_NORM
-    outside = norm > SUCCESS_NORM
-    # settling: last time outside the band
-    settling = np.array(
-        [0.0 if not o.any() else (np.max(np.nonzero(o)[0]) + 1) * dt for o in outside]
-    )
-    overshoot = norm.max(axis=1)
-    effort = log[:, -1, 9]  # final cumulative control effort per episode
+def _settling_time(norm_ok: np.ndarray, dt: float) -> float | None:
+    """Last entry into the |vel|<0.05 band (reference ts_calculator,
+    results_analyzer.py:31-43)."""
+    ts = None
+    last = True
+    t = len(norm_ok)
+    for i, ok in enumerate(reversed(norm_ok)):
+        if not ok and last:
+            ts = (t - i) * dt
+        last = ok
+    return ts
+
+
+def _overshoot(episode: np.ndarray) -> float:
+    """Mean per-axis max |vel| after the first sign change (reference
+    ov_calculator, results_analyzer.py:45-60)."""
+    ov = np.zeros(3)
+    for i in range(3):
+        ax = episode[:, i]
+        neg = ax < 0
+        # The reference latches the first step-to-step sign change at index
+        # >0 (a change at j=0 — initial prev "positive" — writes passou=0,
+        # leaving the latch open for the next change).
+        changes = np.nonzero(neg[1:] != neg[:-1])[0] + 1
+        if len(changes) > 0:
+            ov[i] = np.max(np.abs(ax[changes[0]:]))
+    return float(np.mean(ov))
+
+
+def analyze(log: np.ndarray, env_cfg: EnvConfig, dt: float = 0.01) -> dict:
+    """The reference analyzer's per-file table (results_analyzer.py:16-90):
+    success on ||last[0:4]||, the remaining metrics masked to successes."""
+    phys = env_cfg.physics
+    succ, ts_l, ov_l, ef_l, efmax_l, epp_l, ev_l = [], [], [], [], [], [], []
+    for ep in log:
+        ok = np.linalg.norm(ep[-1, 0:4]) < SUCCESS_NORM
+        succ.append(ok)
+        if not ok:
+            continue
+        newton = (ep[:, -4:] + 1.0) * phys.mass * phys.gravity * phys.t2wr / 8.0
+        vel_norm = np.linalg.norm(ep[:, 0:3], axis=1)
+        ts_l.append(_settling_time(vel_norm < SUCCESS_NORM, dt) or 0.0)
+        ov_l.append(_overshoot(ep))
+        ef_l.append(float(np.mean(np.sum(np.abs(newton), axis=1))))
+        efmax_l.append(float(np.max(np.sum(np.abs(newton), axis=1))))
+        epp_l.append(float(np.linalg.norm(ep[-1, 0:3])))
+        ev_l.append(float(np.mean(vel_norm)))
+    any_ok = len(ts_l) > 0
     return {
-        "success_rate": float(success.mean()),
-        "settling_time_mean_s": float(settling[success].mean()) if success.any() else None,
-        "overshoot_mean": float(overshoot.mean()),
-        "effort_mean": float(effort.mean()),
+        "success_rate": float(np.mean(succ)),
+        "settling_time_mean_s": float(np.mean(ts_l)) if any_ok else None,
+        "overshoot_mean": float(np.mean(ov_l)) if any_ok else None,
+        "ss_error_mean": float(np.mean(epp_l)) if any_ok else None,
+        "accum_error_mean": float(np.mean(ev_l)) if any_ok else None,
+        "effort_mean_n": float(np.mean(ef_l)) if any_ok else None,
+        "effort_max_n": float(np.mean(efmax_l)) if any_ok else None,
     }
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--seed", type=int, default=1, help="reference uses 1")
     p.add_argument("--policy", type=str, default=None, help="RL checkpoint (.msgpack)")
     p.add_argument("--policy-size", type=int, default=128)
-    p.add_argument("--clipped", action="store_true", default=True)
+    p.add_argument(
+        "--legs", type=str, default="all",
+        help="comma list from {pid,pid_unclipped,lqr,lqr_unclipped,rl} or 'all'",
+    )
     p.add_argument("--out", type=str, default="runs/classical")
     return p
 
@@ -144,27 +255,47 @@ def main(argv=None) -> dict:
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
-    keys = jax.random.split(jax.random.PRNGKey(args.seed), N_EPISODES)
-    env_ind = EnvConfig(n_steps=MAX_STEPS, direct_control=False, training=True,
-                        clipped=args.clipped)
-    env_dir = EnvConfig(n_steps=MAX_STEPS, direct_control=True, training=True)
+    legs = (
+        ["lqr", "lqr_unclipped", "pid", "pid_unclipped", "rl"]
+        if args.legs == "all"
+        else args.legs.split(",")
+    )
+    starts = reference_start_states(N_EPISODES, args.seed)
+
+    def env_ind(warmup: int, clipped: bool) -> EnvConfig:
+        return EnvConfig(
+            n_steps=MAX_STEPS, warmup=warmup, direct_control=False,
+            training=True, clipped=clipped,
+        )
 
     os.makedirs(args.out, exist_ok=True)
     results = {}
-    pid_log = run_pid(env_ind, keys)
-    results["pid"] = analyze(pid_log)
-    lqr_log = run_lqr(env_ind, keys)
-    results["lqr"] = analyze(lqr_log)
-    np.savez(f"{args.out}/pid_log_same_start.npz", pid_log)
-    np.savez(f"{args.out}/lqr_log_same_start.npz", lqr_log)
-
-    if args.policy:
-        model = ActorCritic(hidden=args.policy_size)
-        template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
-        params = load_params(args.policy, template)
-        rl_log = run_rl(env_dir, keys, model, params)
-        results["rl"] = analyze(rl_log)
-        np.savez(f"{args.out}/rl_log_same_start.npz", rl_log)
+    for leg in legs:
+        if leg == "pid":
+            log = run_pid(env_ind(5, True), starts, VELOCITY_GAINS)
+            cfg = env_ind(5, True)
+        elif leg == "pid_unclipped":
+            log = run_pid(env_ind(5, False), starts, VELOCITY_GAINS_UNCLIPPED)
+            cfg = env_ind(5, False)
+        elif leg == "lqr":
+            log = run_lqr(env_ind(1, True), starts)
+            cfg = env_ind(1, True)
+        elif leg == "lqr_unclipped":
+            log = run_lqr(env_ind(1, False), starts)
+            cfg = env_ind(1, False)
+        elif leg == "rl":
+            if not args.policy:
+                continue
+            cfg = EnvConfig(n_steps=MAX_STEPS, warmup=5, direct_control=True,
+                            training=False)
+            model = ActorCritic(hidden=args.policy_size)
+            template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
+            params = load_params(args.policy, template)
+            log = run_rl(cfg, starts, model, params)
+        else:
+            raise SystemExit(f"unknown leg {leg!r}")
+        results[leg] = analyze(log, cfg)
+        np.savez(f"{args.out}/{leg}_log_same_start.npz", log)
 
     print(json.dumps(results, indent=2))
     return results

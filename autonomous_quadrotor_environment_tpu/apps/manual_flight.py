@@ -10,8 +10,9 @@ analysis.aggregate_pilot_logs consumes (the "~83% human pilot" baseline,
 README.md:10).
 
 Input sources:
-  --keys              terminal WASD + R/F (z), real-time paced (no gamepad
-                      dependency in this build; same command surface)
+  --keys              terminal WASD + R/F (z), real-time paced
+  --gamepad /dev/jsN  Linux joystick API reader (GamepadInput below — raw
+                      /dev/input/jsN events, no pygame dependency)
   --script cmds.npy   (T, 3) command array — scripted/replay mode, also the
                       CI-testable path
 Frames can be dumped through the native C++ preview renderer (--frames).

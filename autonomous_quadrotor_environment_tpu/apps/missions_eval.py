@@ -29,7 +29,7 @@ from ..baselines import POSITION_GAINS, cascaded_pid_control, cascaded_pid_init
 from ..baselines.velocity_pid import vel_pid, vel_pid_init
 from ..config import EnvConfig, SensorConfig
 from ..core.quaternion import deriv_quat, quat_normalize
-from ..core.dynamics import physics_step
+from ..core.dynamics import aux_at_state
 from ..core.randomization import zeros_domain
 from ..envs import hover
 from ..envs.sensors import reads_from_env, sensor_fused, sensor_reset
@@ -88,10 +88,7 @@ def make_rl_mission_runner(
     def run(traj, key):
         x0 = jnp.zeros(13).at[6].set(1.0)
         env_s = hover.reset(key, env_cfg, det_state=x0)
-        _, aux0 = physics_step(
-            env_s.x, jnp.zeros(4), jnp.zeros(3), env_cfg.physics, zeros_domain(),
-            dt=env_cfg.dt,
-        )
+        aux0 = aux_at_state(env_s.x, jnp.zeros(4), env_cfg.physics, zeros_domain())
         sens0 = sensor_reset(key, reads_from_env(env_s.x, aux0), scfg)
         vp0 = vel_pid_init()
         f0 = vision_fusion_init()
@@ -101,9 +98,12 @@ def make_rl_mission_runner(
             k, k_s = jax.random.split(k)
             tgt = mission_target(traj, i)
             if use_sensors:
-                _, aux = physics_step(
-                    env_s.x, action, jnp.zeros(3), env_cfg.physics, env_s.dom,
-                    dt=env_cfg.dt, direct_control=env_cfg.direct_control,
+                # Diagnostics AT the current state from the action that
+                # produced it — one RHS eval, exact reference pairing
+                # (core/dynamics.aux_at_state).
+                aux = aux_at_state(
+                    env_s.x, action, env_cfg.physics, env_s.dom,
+                    direct_control=env_cfg.direct_control,
                 )
                 sens_s, fused = sensor_fused(
                     sens_s, reads_from_env(env_s.x, aux), k_s, scfg,

@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-every", type=int, default=5)
     p.add_argument("--eval-episodes", type=int, default=40)
     p.add_argument("--robust", action="store_true", help="domain randomization + wind")
+    p.add_argument(
+        "--curriculum", type=str, default=None, metavar="S1,S2,...",
+        help="calm->windy robust curriculum: comma list of severities in "
+        "[0,1]; updates are split evenly across stages and each stage "
+        "scales the randomization magnitudes (RandomizationConfig.scaled). "
+        "E.g. --robust --curriculum 0,0.33,0.66,1.0",
+    )
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0 = single)")
     p.add_argument("--out", type=str, default="runs/control")
     p.add_argument("--solved-threshold", type=float, default=0.95)
@@ -50,10 +57,22 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     from ..config import RandomizationConfig
 
-    env_cfg = EnvConfig(
-        n_steps=1000,
-        randomization=RandomizationConfig(enabled=args.robust),
-    )
+    def stage_env_cfg(severity: float) -> EnvConfig:
+        return EnvConfig(
+            n_steps=1000,
+            randomization=RandomizationConfig(enabled=args.robust).scaled(severity),
+        )
+
+    # Calm->windy curriculum (VERDICT r1 item 3): equal update slices per
+    # severity stage; each stage recompiles once (static configs) and
+    # re-resets the env batch while keeping params/optimizer state.
+    if args.curriculum and args.robust:
+        severities = [float(s) for s in args.curriculum.split(",")]
+    else:
+        severities = [1.0 if args.robust else 0.0]
+    per_stage = max(args.updates // len(severities), 1)
+
+    env_cfg = stage_env_cfg(severities[-1])  # full-severity (final) config
     ppo_cfg = PPOConfig(lr=args.lr, k_epochs=args.k_epochs)
     train_cfg = TrainConfig(
         num_envs=args.num_envs,
@@ -66,16 +85,39 @@ def main(argv=None) -> dict:
     )
 
     key = jax.random.PRNGKey(args.seed)
+    mesh = None
     if args.dp > 0:
-        from ..parallel import make_dp_mesh, make_parallel_train_step, ppo_init_sharded
+        from ..parallel import make_dp_mesh
 
         mesh = make_dp_mesh(args.dp)
-        model, tx, state = ppo_init_sharded(key, env_cfg, ppo_cfg, train_cfg, mesh)
-        train_step = make_parallel_train_step(model, tx, env_cfg, ppo_cfg, train_cfg, mesh)
-    else:
-        model, tx, state = ppo_init(key, env_cfg, ppo_cfg, train_cfg)
-        train_step = jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
-    eval_fn = jax.jit(make_eval_fn(model, env_cfg, episodes=args.eval_episodes))
+
+    def build(cfg: EnvConfig, stage_key, carry_state=None):
+        """(Re)build train_step/eval_fn for a stage; keep params/opt from
+        the carried state when present (env batch is re-reset under the new
+        randomization config)."""
+        if mesh is not None:
+            from ..parallel import make_parallel_train_step, ppo_init_sharded
+
+            model, tx, state = ppo_init_sharded(stage_key, cfg, ppo_cfg, train_cfg, mesh)
+            step = make_parallel_train_step(model, tx, cfg, ppo_cfg, train_cfg, mesh)
+        else:
+            model, tx, state = ppo_init(stage_key, cfg, ppo_cfg, train_cfg)
+            step = jax.jit(make_train_step(model, tx, cfg, ppo_cfg, train_cfg))
+        if carry_state is not None:
+            state = state.replace(
+                params=carry_state.params,
+                opt_state=carry_state.opt_state,
+                update_i=carry_state.update_i,
+            )
+        # Evaluation always runs at FULL severity so curves are comparable
+        # across stages (calm-stage policies just score worse early).
+        eval_fn = jax.jit(make_eval_fn(model, env_cfg, episodes=args.eval_episodes))
+        return model, state, step, eval_fn
+
+    stage_i = 0
+    model, state, train_step, eval_fn = build(
+        stage_env_cfg(severities[0]), key
+    )
 
     tag = f"{args.size}_{args.seed}"
     csv_log = CSVLogger(f"{args.out}/log_{tag}.csv", TRAIN_LOG_HEADER)
@@ -86,6 +128,14 @@ def main(argv=None) -> dict:
     last_eval = {}
 
     for i in range(1, args.updates + 1):
+        next_stage = min(i // per_stage, len(severities) - 1)
+        if next_stage != stage_i:
+            stage_i = next_stage
+            sev = severities[stage_i]
+            print(f"== curriculum stage {stage_i}: severity {sev:.2f} ==")
+            model, state, train_step, eval_fn = build(
+                stage_env_cfg(sev), jax.random.fold_in(key, 1000 + stage_i), state
+            )
         state, metrics = train_step(state)
         total_steps += train_cfg.num_envs * train_cfg.rollout_steps
         total_eps_dev = (
@@ -117,7 +167,15 @@ def main(argv=None) -> dict:
                 f"steps/s {total_steps / (time.time() - t0):9.0f}"
             )
             save_params(f"{args.out}/untrained_networks/nn_{tag}.msgpack", state.params)
-            if last_eval["eval_solved"] >= args.solved_threshold:
+            # Robust runs gate on the station-keeping criterion (strict
+            # stillness is unreachable under persistent 5 m/s gusts; see
+            # make_eval_fn) — and only once the curriculum is at full
+            # severity, so early calm stages can't end the run.
+            solved_metric = (
+                last_eval["eval_station_keeping"] if args.robust else last_eval["eval_solved"]
+            )
+            at_final_stage = stage_i == len(severities) - 1
+            if at_final_stage and solved_metric >= args.solved_threshold:
                 save_params(f"{args.out}/solved/nn_solved_{tag}.msgpack", state.params)
                 print("########## Solved! ##########")
                 break

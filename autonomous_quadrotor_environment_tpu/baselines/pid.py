@@ -167,9 +167,13 @@ def cascaded_pid_control(
     ang_d = jnp.stack([phi_d, theta_d, psi_d])
     v_ang_d = (ang_d - s.ang_d_ant) / dt
 
-    sphi, u5 = pid_step(s.phi, ang[0], ang_vel[0], ang_d[0], v_ang_d[0], gains.ang, dt)
-    sth, u6 = pid_step(s.theta, ang[1], ang_vel[1], ang_d[1], v_ang_d[1], gains.ang, dt)
-    sps, u7 = pid_step(s.psi, ang[2], ang_vel[2], ang_d[2], v_ang_d[2], gains.ang_psi, dt)
+    # In the velocity variant the reference's `pid` class recomputes the
+    # derivative from the measurement in EVERY loop, attitude included
+    # (pid_vel_control.py:121-122 overrides the passed dx); the position
+    # variant's pid class uses the passed rate (PID_control.py:213-215).
+    sphi, u5 = pid_step(s.phi, ang[0], ang_vel[0], ang_d[0], v_ang_d[0], gains.ang, dt, dom)
+    sth, u6 = pid_step(s.theta, ang[1], ang_vel[1], ang_d[1], v_ang_d[1], gains.ang, dt, dom)
+    sps, u7 = pid_step(s.psi, ang[2], ang_vel[2], ang_d[2], v_ang_d[2], gains.ang_psi, dt, dom)
 
     m = _euler_rate_inertia(ang, phys)
     moments = jnp.linalg.solve(m, jnp.stack([u5, u6, u7]))

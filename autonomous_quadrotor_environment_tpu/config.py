@@ -77,6 +77,20 @@ class RandomizationConfig:
     gust_std: tuple = (5.0, 5.0, 2.0)  # wind gust std per axis [m/s]
     gust_period: int = 500  # integration steps between gust resamples
 
+    def scaled(self, severity: float) -> "RandomizationConfig":
+        """Curriculum stage: all perturbation magnitudes scaled by
+        ``severity`` in [0, 1] (0 = calm, 1 = the reference's full
+        robust_control). Used by train_control --robust --curriculum."""
+        return dataclasses.replace(
+            self,
+            enabled=self.enabled and severity > 0.0,
+            d_kf=self.d_kf * severity,
+            d_m=self.d_m * severity,
+            d_ir=self.d_ir * severity,
+            d_j=self.d_j * severity,
+            gust_std=tuple(g * severity for g in self.gust_std),
+        )
+
 
 # ---------------------------------------------------------------------------
 # Reward variants (reference quadrotor_env.py:69-81 vs quadrotor_env_opt.py:62-69)
@@ -223,6 +237,14 @@ class PPOConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     max_grad_norm: float = 0.0    # 0 = no clipping (reference has none)
+    # Minibatch shuffling granularity: permute contiguous blocks of this many
+    # rows instead of single rows. Rows are the flattened (T, B) batch, so a
+    # block of adjacent rows is (mostly) different envs at one timestep —
+    # i.i.d. samples already. Row-gathers of randomly permuted rows are ~5x
+    # slower than block slices on TPU (measured: 425 ms vs 82 ms for the
+    # K=10 x 131072-minibatch update at 2048x256). 1 = per-row permutation
+    # (the reference's exact shuffle, ppo.py:176).
+    shuffle_block: int = 128
 
     @staticmethod
     def landing_variant() -> "PPOConfig":
@@ -248,6 +270,12 @@ class TrainConfig:
     eval_every: int = 5           # log_interval (reference ppo.py:310)
     eval_episodes: int = 40
     seed: int = 0
+    # Fresh-episode pool per rollout for auto-reset (agents/ppo.rollout_batch);
+    # 0 = exact per-step resets (recomputes the warmup scan every step).
+    # Measured at 2048x256 on TPU: the hover env's physics is so cheap that
+    # inline resets win (119.8 vs 144.7 ms/update) — default 0 here; the
+    # landing trainer (10-frame intervals + render per reset) uses its pool.
+    reset_pool: int = 0
 
 
 # ---------------------------------------------------------------------------

@@ -226,6 +226,56 @@ class StepAux(NamedTuple):
     motor: MotorOutput
 
 
+def aux_at_state(
+    x: jnp.ndarray,
+    action: jnp.ndarray,
+    phys: PhysicsConfig,
+    dom: DomainParams,
+    *,
+    wind: jnp.ndarray | None = None,
+    direct_control: bool = True,
+    clipped: bool = True,
+    randomize: bool = False,
+) -> StepAux:
+    """Diagnostics at the CURRENT state under ``action`` — no integration.
+
+    The reference's sensors read instance attributes (`self.accel`,
+    `self.mat_rot`, `self.accelerometer_read`, quadrotor_env.py:352-396)
+    that were computed at the END of the previous step, i.e. AT the state
+    the caller currently holds, from the action that produced it. This
+    helper reproduces exactly that with ONE RHS evaluation instead of a
+    full re-integration (which would also be one dt ahead) — use it
+    wherever sensor models need the post-step diagnostics of an already
+    stepped state (landing/env.py, apps/missions_eval.py).
+    """
+    dtype = x.dtype
+    action = jnp.asarray(action, dtype)
+    if wind is None:
+        wind = jnp.zeros(3, dtype)
+    if direct_control:
+        motor = f2F(action, phys, dom, randomize)
+    else:
+        motor = f2w(action[0], action[1:4], phys, dom, clipped, randomize)
+    omega_r = rotor_gyro_speed(motor.w, phys, dom, randomize)
+    dx = drone_eq(x, motor.thrust, motor.moment, omega_r, wind, phys, dom, randomize)
+    accel = dx[1:6:2]
+    q = quat_normalize(x[6:10])
+    rot = quat_rot_mat(q)
+    # Reference quadrotor_env.py:371 double-gravity quirk, replicated as-is
+    # (see physics_step below / envs/sensors.py).
+    grav = jnp.asarray([0.0, 0.0, -phys.gravity], dtype)
+    accelerometer_read = rot.T @ (accel + grav)
+    v_q = deriv_quat(x[10:13], q)
+    return StepAux(
+        accel=accel,
+        accelerometer_read=accelerometer_read,
+        mat_rot=rot,
+        v_q=v_q,
+        f_in_z=motor.thrust,
+        motor=motor,
+    )
+
+
 def physics_step(
     x: jnp.ndarray,
     action: jnp.ndarray,

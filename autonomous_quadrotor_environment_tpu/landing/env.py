@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import CameraConfig, EnvConfig, LandingConfig, MarkerConfig, SensorConfig
-from ..core.dynamics import physics_step
+from ..core.dynamics import aux_at_state
 from ..core.randomization import zeros_domain
 from ..envs import hover
 from ..envs.featurizer import feat_size, push_hist
@@ -106,16 +106,12 @@ def _inner_interval(
         env_s, sens_s, hist, crtl_action, key, i = carry
         key, k_sens = jax.random.split(key)
         # Sensor fusion uses the post-step diagnostics of the LAST physics
-        # step, reconstructed from the env state (reference reads the env's
-        # instance attributes, quadrotor_env_opt.py:517-524).
-        _, aux = physics_step(
-            env_s.x,
-            crtl_action,
-            jnp.zeros(3, dtype),
-            env_cfg.physics,
-            env_s.dom,
-            dt=env_cfg.dt,
-            direct_control=True,
+        # step: the reference reads the env's instance attributes
+        # (quadrotor_env_opt.py:517-524), which were computed AT the state
+        # env_s.x from the action that produced it — one RHS evaluation,
+        # no re-integration (see core/dynamics.aux_at_state).
+        aux = aux_at_state(
+            env_s.x, crtl_action, env_cfg.physics, env_s.dom, direct_control=True
         )
         reads = reads_from_env(env_s.x, aux)
         sens_s, fused = sensor_fused(
@@ -168,9 +164,9 @@ def landing_reset(
     x0 = x0.at[6].set(1.0)
 
     env_s = hover.reset(k_env, cfgs.env, det_state=x0, dtype=dtype)
-    _, aux0 = physics_step(
-        env_s.x, jnp.zeros(4, dtype), jnp.zeros(3, dtype), cfgs.env.physics,
-        zeros_domain(dtype), dt=cfgs.env.dt, direct_control=True,
+    aux0 = aux_at_state(
+        env_s.x, jnp.zeros(4, dtype), cfgs.env.physics, zeros_domain(dtype),
+        direct_control=True,
     )
     sens_s = sensor_reset(k_sens, reads_from_env(env_s.x, aux0), cfgs.sensor, dtype)
 

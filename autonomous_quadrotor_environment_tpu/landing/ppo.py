@@ -89,14 +89,41 @@ def _dist_entropy(log_std, dim=3):
     return dim * (0.5 + 0.5 * math.log(2.0 * math.pi) + log_std)
 
 
+from ..agents.ppo import (  # shared done-select / key-repr helpers
+    _match_key_repr,
+    _where_done,
+)
+
+
 def landing_rollout(
     model, params, env_states, obs: LandingObs, key, cfgs: LandingConfigs,
-    ctrl_model, ctrl_params, steps: int,
+    ctrl_model, ctrl_params, steps: int, reset_pool: int = 2,
 ):
-    """Collect `steps` decisions from every env (autoreset)."""
+    """Collect `steps` decisions from every env (autoreset).
+
+    Auto-reset pulls from a per-rollout pool of `reset_pool` precomputed
+    fresh episodes per env instead of recomputing `landing_reset` — a full
+    hover warmup scan + 10-frame decision interval + render — for every env
+    at every decision (which ~2.2x'd the hot path; round-1 advisor finding).
+    Pool draws are i.i.d. from the reset distribution; on wrap-around the
+    initial geometry repeats but the env RNG key is freshly split, so sensor
+    noise and action sampling still diverge. `reset_pool=0` falls back to
+    exact per-step resets.
+    """
+
+    use_pool = reset_pool > 0
+    if use_pool:
+        b = env_states.done.shape[0]
+        k_pool, key = jax.random.split(key)
+        pool_keys = jax.random.split(k_pool, (reset_pool, b))
+        pool_states, pool_obs = jax.vmap(
+            jax.vmap(lambda k: landing_reset(k, cfgs, ctrl_model, ctrl_params))
+        )(pool_keys)
+        pool_states = jax.tree.map(_match_key_repr, pool_states, env_states)
+        env_idx = jnp.arange(b)
 
     def body(carry, step_key):
-        env_states, obs = carry
+        env_states, obs, slot = carry
         mean = model.apply(params, obs.image, obs.control_in, method="actor")
         log_std = params["params"]["log_std"]
         action = mean + jnp.exp(log_std) * jax.random.normal(
@@ -104,9 +131,28 @@ def landing_rollout(
         )
         logprob = _dist_logprob(mean, log_std, action)
         value = model.apply(params, obs.image, obs.control_in, action, method="critic")
-        env_states, out = jax.vmap(
-            lambda s, a: landing_step_autoreset(s, a, cfgs, ctrl_model, ctrl_params)
-        )(env_states, action)
+        if use_pool:
+            stepped, out = jax.vmap(
+                lambda s, a: landing_step(s, a, cfgs, ctrl_model, ctrl_params)
+            )(env_states, action)
+            split = jax.vmap(lambda k: jax.random.split(k))(stepped.key)
+            fresh = jax.tree.map(
+                lambda p: p[slot % reset_pool, env_idx], pool_states
+            ).replace(key=split[:, 1])
+            stepped = stepped.replace(key=split[:, 0])
+            env_states = jax.tree.map(
+                lambda a, c: _where_done(out.done, a, c), fresh, stepped
+            )
+            fresh_obs = jax.tree.map(lambda p: p[slot % reset_pool, env_idx], pool_obs)
+            next_obs = jax.tree.map(
+                lambda a, c: _where_done(out.done, a, c), fresh_obs, out.obs
+            )
+            slot = slot + out.done.astype(jnp.int32)
+        else:
+            env_states, out = jax.vmap(
+                lambda s, a: landing_step_autoreset(s, a, cfgs, ctrl_model, ctrl_params)
+            )(env_states, action)
+            next_obs = out.obs
         roll = LandingRollout(
             images=obs.image,
             sens=obs.control_in,
@@ -117,10 +163,13 @@ def landing_rollout(
             dones=out.done,
             solved=out.solved,
         )
-        return (env_states, out.obs), roll
+        return (env_states, next_obs, slot), roll
 
+    b0 = env_states.done.shape[0]
     keys = jax.random.split(key, steps)
-    (env_states, obs), roll = jax.lax.scan(body, (env_states, obs), keys)
+    (env_states, obs, _slot), roll = jax.lax.scan(
+        body, (env_states, obs, jnp.zeros(b0, jnp.int32)), keys
+    )
     # Bootstrap: critic at the next observation with the deterministic action.
     mean = model.apply(params, obs.image, obs.control_in, method="actor")
     bootstrap = model.apply(params, obs.image, obs.control_in, mean, method="critic")
@@ -156,12 +205,13 @@ def make_landing_train_step(
     rollout_steps: int,
     grad_reduce: Callable | None = None,
     metric_reduce: Callable | None = None,
+    reset_pool: int = 2,
 ):
     def train_step(state: LandingTrainState):
         key, k_roll, k_upd = jax.random.split(state.key, 3)
         env_states, obs, roll, bootstrap = landing_rollout(
             model, state.params, state.env_states, state.obs, k_roll, cfgs,
-            ctrl_model, ctrl_params, rollout_steps,
+            ctrl_model, ctrl_params, rollout_steps, reset_pool=reset_pool,
         )
         returns, advs = gae_advantages(
             roll.rewards, roll.values, roll.dones, bootstrap,
@@ -175,14 +225,27 @@ def make_landing_train_step(
         mb = ppo_cfg.minibatch_size if ppo_cfg.minibatch_size > 0 else n
         mb = min(mb, n)
         n_mb = max(n // mb, 1)
+        # Block-granular shuffle + full-batch fast path (see agents/ppo.py:
+        # ppo_update — identical reasoning; rows are env-major i.i.d.).
+        block = max(ppo_cfg.shuffle_block, 1)
+        if n % block != 0 or mb % block != 0:
+            block = 1
+        full_batch = n_mb == 1 and mb >= n
 
         def epoch(carry, epoch_key):
             params, opt_state = carry
-            perm = jax.random.permutation(epoch_key, n)
+            perm = jax.random.permutation(epoch_key, n // block)
 
             def minibatch(carry, idx):
                 params, opt_state = carry
-                take = lambda x: jnp.take(x, idx, axis=0)
+                if full_batch:
+                    take = lambda x: x
+                elif block > 1:
+                    take = lambda x: x.reshape((n // block, block) + x.shape[1:])[
+                        idx
+                    ].reshape((mb,) + x.shape[1:])
+                else:
+                    take = lambda x: jnp.take(x, idx, axis=0)
                 (loss, metrics), grads = jax.value_and_grad(
                     lambda p: landing_loss(
                         model, p, take(images), take(sens), take(actions),
@@ -196,7 +259,7 @@ def make_landing_train_step(
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), (loss, metrics)
 
-            idxs = perm[: n_mb * mb].reshape(n_mb, mb)
+            idxs = perm[: n_mb * (mb // block)].reshape(n_mb, mb // block)
             (params, opt_state), (losses, metrics) = jax.lax.scan(
                 minibatch, (params, opt_state), idxs
             )

@@ -182,3 +182,25 @@ def test_vmap_physics_step():
     out = step(xs, acts, wind, dom)
     assert out.shape == (B, 13)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_aux_at_state_matches_physics_step_aux():
+    """aux_at_state(x_new, a) must equal the aux physics_step computes at the
+    integrated state x_new from the same action — the cheap (1 RHS eval)
+    reconstruction sensor consumers use (landing/env.py, missions_eval.py)."""
+    from autonomous_quadrotor_environment_tpu.core import aux_at_state
+
+    x = jnp.asarray(random_state(), jnp.float32)
+    a = jnp.asarray(RNG.uniform(-0.5, 0.5, 4), jnp.float32)
+    wind = jnp.zeros(3, jnp.float32)
+    x_new, aux = jax.jit(
+        lambda x, a: physics_step(x, a, wind, PHYS, DOM, dt=0.01, compute_accel_aux=True)
+    )(x, a)
+    aux2 = jax.jit(lambda x, a: aux_at_state(x, a, PHYS, DOM))(x_new, a)
+    np.testing.assert_allclose(aux2.accel, aux.accel, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        aux2.accelerometer_read, aux.accelerometer_read, rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(aux2.mat_rot, aux.mat_rot, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(aux2.v_q, aux.v_q, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(aux2.f_in_z, aux.f_in_z, rtol=1e-6)

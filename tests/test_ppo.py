@@ -157,3 +157,39 @@ def test_minibatched_update_matches_fullbatch_shapes():
     train_step = jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
     state, metrics = train_step(state)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_reset_pool_pulls_fresh_episode_after_done():
+    """With the per-rollout reset pool, an env that terminates must carry a
+    fresh episode (step counter back at warmup) on the next scan step."""
+    env_cfg = EnvConfig(n_steps=4)  # forces timeout dones inside the rollout
+    ppo_cfg = PPOConfig()
+    train_cfg = TrainConfig(num_envs=8, rollout_steps=16, network_size=16)
+    model, _tx, state = ppo_init(jax.random.PRNGKey(0), env_cfg, ppo_cfg, train_cfg)
+    env_states, roll, _ = rollout_batch(
+        model, state.params, state.env_states, jax.random.PRNGKey(1), env_cfg, 16,
+        reset_pool=4,
+    )
+    # Every env times out at i = n_steps + warmup = 9 repeatedly in 16 steps.
+    assert int(np.asarray(roll.dones).sum()) >= 8
+    assert int(env_states.i.max()) <= env_cfg.max_steps
+    # Pooled and exact-reset rollouts agree on the observable schema.
+    env_states0, roll0, _ = rollout_batch(
+        model, state.params, state.env_states, jax.random.PRNGKey(1), env_cfg, 16,
+        reset_pool=0,
+    )
+    assert roll0.dones.shape == roll.dones.shape
+    np.testing.assert_array_equal(np.asarray(roll0.dones), np.asarray(roll.dones))
+
+
+def test_block_shuffle_minibatch_update_runs():
+    """shuffle_block>1 (contiguous-block minibatches) and the reference's
+    per-row shuffle both produce finite training steps."""
+    env_cfg = EnvConfig(n_steps=50)
+    train_cfg = TrainConfig(num_envs=8, rollout_steps=32, network_size=16)
+    for block in (16, 1):
+        ppo_cfg = PPOConfig(k_epochs=2, minibatch_size=64, shuffle_block=block)
+        model, tx, state = ppo_init(jax.random.PRNGKey(0), env_cfg, ppo_cfg, train_cfg)
+        train_step = jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
+        state, metrics = train_step(state)
+        assert np.isfinite(float(metrics["loss"])), block
