@@ -57,6 +57,80 @@ def _make_traj(spec, dt):
     )
 
 
+def make_mission_body(env_cfg, model, params, scfg, use_sensors, use_vision=False):
+    """Build the per-step mission control body + carry initializer.
+
+    Shared by the batch eval runner below and the interactive live rig
+    (apps/live_mission.py), so every control mode's semantics have exactly
+    one implementation. The carry holds ALL mode states (sensors, velocity
+    PID, vision fusion) regardless of flags so the three compiled modes are
+    carry-compatible and can be switched live (the reference's menu buttons
+    flip REAL_CTRL/IMG_POS_DETER on the same running sim, menu.py:28-50).
+    """
+    from ..config import CameraConfig, MarkerConfig
+    from ..envs.featurizer import feat_size, push_hist
+    from ..vision import vision_correction_step, vision_fusion_init
+
+    # Higher-res mission camera like the reference's (its saved intrinsics
+    # imply a ~960px buffer, config/camera_calibration_cam_1.npz): the board
+    # must stay detectable from cruise altitude.
+    mission_cam = CameraConfig(width=480, height=480)
+    marker_cfg = MarkerConfig()
+
+    def init(key):
+        x0 = jnp.zeros(13).at[6].set(1.0)
+        env_s = hover.reset(key, env_cfg, det_state=x0)
+        aux0 = aux_at_state(env_s.x, jnp.zeros(4), env_cfg.physics, zeros_domain())
+        sens0 = sensor_reset(key, reads_from_env(env_s.x, aux0), scfg)
+        return (
+            env_s, sens0, vel_pid_init(), vision_fusion_init(),
+            jnp.zeros(feat_size(5)), jnp.zeros(4), key,
+        )
+
+    def body(carry, traj, i):
+        env_s, sens_s, vp_s, f_s, hist, action, k = carry
+        k, k_s = jax.random.split(k)
+        tgt = mission_target(traj, i)
+        if use_sensors:
+            # Diagnostics AT the current state from the action that
+            # produced it — one RHS eval, exact reference pairing
+            # (core/dynamics.aux_at_state).
+            aux = aux_at_state(
+                env_s.x, action, env_cfg.physics, env_s.dom,
+                direct_control=env_cfg.direct_control,
+            )
+            sens_s, fused = sensor_fused(
+                sens_s, reads_from_env(env_s.x, aux), k_s, scfg,
+                env_cfg.physics, env_cfg.dt,
+            )
+            state14 = fused.states_sens
+            if use_vision:  # hybrid: PnP corrections into the INS
+                f_s, sens_s, _vout = vision_correction_step(
+                    f_s, sens_s, env_s.x[0:5:2], jnp.zeros(2), i, env_cfg.dt,
+                    mission_cam, marker_cfg, quad_quat=env_s.x[6:10],
+                )
+        else:
+            # true-state mode: the controller's quat_dot features must
+            # be real (reference position.py feeds the env's
+            # quat_state) — zeroing them destabilizes the attitude loop.
+            q = quat_normalize(env_s.x[6:10])
+            state14 = jnp.concatenate(
+                [env_s.x[0:10], deriv_quat(env_s.x[10:13], q)]
+            )
+        vp_s, verr = vel_pid(vp_s, state14, tgt, env_cfg.dt)
+        hist = push_hist(hist, state14 - tgt - verr, action)
+        action = model.apply(params, hist, method="actor_mean")
+        env_s, _ = hover.step(env_s, action, env_cfg)
+        err_pos = env_s.x[0:5:2] - tgt[0:5:2]
+        est_err = jnp.linalg.norm(sens_s.pos_ins - env_s.x[0:5:2])
+        log = jnp.concatenate(
+            [env_s.x, err_pos, jnp.asarray([jnp.linalg.norm(err_pos), est_err])]
+        )
+        return (env_s, sens_s, vp_s, f_s, hist, action, k), log
+
+    return body, init
+
+
 def make_rl_mission_runner(
     env_cfg, model, params, scfg, use_sensors, steps, use_vision=False
 ):
@@ -74,68 +148,13 @@ def make_rl_mission_runner(
     rendered, the chessboard PnP pose is solved, and the estimate is
     blended into the INS (reference quadrotor_cv.py:57-105, menu.py:28-50).
     """
-    from ..config import CameraConfig, MarkerConfig
-    from ..envs.featurizer import feat_size, push_hist
-    from ..vision import vision_correction_step, vision_fusion_init
-
-    # Higher-res mission camera like the reference's (its saved intrinsics
-    # imply a ~960px buffer, config/camera_calibration_cam_1.npz): the board
-    # must stay detectable from cruise altitude.
-    mission_cam = CameraConfig(width=480, height=480)
-    marker_cfg = MarkerConfig()
+    body, init = make_mission_body(env_cfg, model, params, scfg, use_sensors, use_vision)
 
     @jax.jit
     def run(traj, key):
-        x0 = jnp.zeros(13).at[6].set(1.0)
-        env_s = hover.reset(key, env_cfg, det_state=x0)
-        aux0 = aux_at_state(env_s.x, jnp.zeros(4), env_cfg.physics, zeros_domain())
-        sens0 = sensor_reset(key, reads_from_env(env_s.x, aux0), scfg)
-        vp0 = vel_pid_init()
-        f0 = vision_fusion_init()
-
-        def body(carry, i):
-            env_s, sens_s, vp_s, f_s, hist, action, k = carry
-            k, k_s = jax.random.split(k)
-            tgt = mission_target(traj, i)
-            if use_sensors:
-                # Diagnostics AT the current state from the action that
-                # produced it — one RHS eval, exact reference pairing
-                # (core/dynamics.aux_at_state).
-                aux = aux_at_state(
-                    env_s.x, action, env_cfg.physics, env_s.dom,
-                    direct_control=env_cfg.direct_control,
-                )
-                sens_s, fused = sensor_fused(
-                    sens_s, reads_from_env(env_s.x, aux), k_s, scfg,
-                    env_cfg.physics, env_cfg.dt,
-                )
-                state14 = fused.states_sens
-                if use_vision:  # hybrid: PnP corrections into the INS
-                    f_s, sens_s, _vout = vision_correction_step(
-                        f_s, sens_s, env_s.x[0:5:2], jnp.zeros(2), i, env_cfg.dt,
-                        mission_cam, marker_cfg, quad_quat=env_s.x[6:10],
-                    )
-            else:
-                # true-state mode: the controller's quat_dot features must
-                # be real (reference position.py feeds the env's
-                # quat_state) — zeroing them destabilizes the attitude loop.
-                q = quat_normalize(env_s.x[6:10])
-                state14 = jnp.concatenate(
-                    [env_s.x[0:10], deriv_quat(env_s.x[10:13], q)]
-                )
-            vp_s, verr = vel_pid(vp_s, state14, tgt, env_cfg.dt)
-            hist = push_hist(hist, state14 - tgt - verr, action)
-            action = model.apply(params, hist, method="actor_mean")
-            env_s, _ = hover.step(env_s, action, env_cfg)
-            err_pos = env_s.x[0:5:2] - tgt[0:5:2]
-            est_err = jnp.linalg.norm(sens_s.pos_ins - env_s.x[0:5:2])
-            log = jnp.concatenate(
-                [env_s.x, err_pos, jnp.asarray([jnp.linalg.norm(err_pos), est_err])]
-            )
-            return (env_s, sens_s, vp_s, f_s, hist, action, k), log
-
-        init = (env_s, sens0, vp0, f0, jnp.zeros(feat_size(5)), jnp.zeros(4), key)
-        _, log = jax.lax.scan(body, init, jnp.arange(steps))
+        _, log = jax.lax.scan(
+            lambda c, i: body(c, traj, i), init(key), jnp.arange(steps)
+        )
         return log
 
     return run

@@ -60,3 +60,53 @@ def test_replay_app_renders_frames(tmp_path):
     import os as _os
 
     assert all(_os.path.getsize(f) > 100 for f in out["frames"])
+
+
+def test_watch_dashboard_renders(tmp_path):
+    """The --watch training dashboard renders all panels from a JSONL."""
+    import json
+
+    from autonomous_quadrotor_environment_tpu.apps.watch import main
+
+    p = tmp_path / "train.jsonl"
+    rows = [
+        {"update": i, "eval_reward": -20.0 + i, "eval_solved": i / 10,
+         "solved_frac": i / 20, "actor_loss": -0.01, "critic_loss": 1.0 / (i + 1),
+         "eval_length": 100 + i, "episodes": 12, "reward_per_step": 0.01 * i,
+         "ts": 1000.0 + i}
+        for i in range(10)
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = main([str(p), "--once"])
+    for label in ("eval reward", "eval solved", "critic loss", "throughput"):
+        assert label in out
+
+
+def test_replay_live_mode(tmp_path):
+    """Real-time paced terminal replay (reference conf_eval.prc 20 FPS)."""
+    import numpy as np
+
+    from autonomous_quadrotor_environment_tpu.apps.replay import main
+
+    st = np.zeros((40, 13))
+    st[:, 6] = 1.0
+    st[:, 4] = np.linspace(1.0, -4.0, 40)
+    log = tmp_path / "traj.npy"
+    np.save(log, st)
+    r = main(["--log", str(log), "--live", "--fps", "100", "--term-cols", "20",
+              "--max-seconds", "0.1"])
+    assert r["live"] and r["frames"] >= 5
+
+
+def test_live_mission_mode_switching():
+    """The interactive rig switches True-State/MEMS/Hybrid on the live sim
+    (reference menu.py:28-50) — scripted hotkeys, headless."""
+    from autonomous_quadrotor_environment_tpu.apps.live_mission import main
+
+    r = main([
+        "--policy",
+        "autonomous_quadrotor_environment_tpu/fixtures/nn_solved_128_0.msgpack",
+        "--headless-keys", ".2.3.1", "--max-seconds", "0.5", "--fps", "20",
+    ])
+    assert r["mode_switches"] == 3
+    assert r["frames"] >= 5

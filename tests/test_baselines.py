@@ -158,3 +158,50 @@ def test_response_metrics_schema():
     }
     assert m["CE"] == 0.5 and m["Rise X"] == 0.0 and m["SS X"] == 0.0
     assert m["Set X"] == 0.0  # never outside the 5% band
+
+
+def test_reference_start_state_replication():
+    """reference_start_states replays the reference's np.random stream
+    (seed 1, robust draws + reset draws per episode) — pinned against the
+    literal values behind the committed same-start logs."""
+    from autonomous_quadrotor_environment_tpu.apps.classical_compare import (
+        reference_start_states,
+    )
+
+    s = reference_start_states(20, seed=1)
+    assert s.shape == (20, 13)
+    np.testing.assert_allclose(
+        s[0],
+        [-2.22072611, -1.13302046, 0.36242853, 1.45995119, 1.12868973,
+         0.74598758, 0.96867603, -0.2296427, 0.09233616, -0.02012803,
+         1.06762182, -0.1839466, 3.82764078],
+        atol=1e-6,
+    )
+    # Clip bounds of the reference reset distribution hold everywhere.
+    assert np.abs(s[:, 0:5:2]).max() <= 2.5 + 1e-9
+    assert np.abs(s[:, 1:6:2]).max() <= 5.0 + 1e-9
+    assert s[:, 10:13].min() >= -15.0 - 1e-9 and s[:, 10:13].max() <= 7.5 + 1e-9
+
+
+def test_classical_pid_legs_match_reference():
+    """The PID same-start legs under the reference's own analyzer must
+    reproduce the reference's committed results exactly: clipped 0%,
+    unclipped 100% (computed from their pid_log_same_start*.npy)."""
+    from autonomous_quadrotor_environment_tpu.apps.classical_compare import (
+        analyze,
+        reference_start_states,
+        run_pid,
+    )
+    from autonomous_quadrotor_environment_tpu.baselines import (
+        VELOCITY_GAINS,
+        VELOCITY_GAINS_UNCLIPPED,
+    )
+    from autonomous_quadrotor_environment_tpu.config import EnvConfig
+
+    starts = reference_start_states(20, seed=1)
+    cfg_c = EnvConfig(n_steps=500, warmup=5, direct_control=False, clipped=True)
+    cfg_u = EnvConfig(n_steps=500, warmup=5, direct_control=False, clipped=False)
+    clipped = analyze(run_pid(cfg_c, starts, VELOCITY_GAINS), cfg_c)
+    unclipped = analyze(run_pid(cfg_u, starts, VELOCITY_GAINS_UNCLIPPED), cfg_u)
+    assert clipped["success_rate"] == 0.0
+    assert unclipped["success_rate"] == 1.0
