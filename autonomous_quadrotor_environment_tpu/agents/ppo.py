@@ -20,6 +20,13 @@ Capability match for the reference's PPO
 Loss (reference ppo.py:172-206): clipped surrogate on the joint (summed)
 log-prob ratio, 0.5*MSE value loss against GAE returns, entropy bonus
 ``-coef * sum(entropy)``, Adam.
+
+TPU-specific choices (measured, docs/PERF.md): minibatches are drawn by
+permuting contiguous row BLOCKS of the env-major batch instead of single
+rows (``PPOConfig.shuffle_block``; 3x end-to-end), full-batch updates skip
+shuffling entirely, and auto-reset can draw from a per-rollout pool of
+precomputed fresh episodes (``TrainConfig.reset_pool``; a win only when
+resets are expensive — landing yes, hover no).
 """
 
 from __future__ import annotations

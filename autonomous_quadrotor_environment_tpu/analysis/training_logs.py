@@ -60,22 +60,36 @@ def size_sweep_summary(log_dir: str) -> dict:
     }
 
 
-def episodes_to_solve(log_path: str, reward_threshold: float = 660.0) -> int | None:
-    """First Total Episodes at which eval reward exceeds the solve threshold
-    (reference logger_analyzer.py:51-55, threshold 660 for the velocity
-    task; pass the hover threshold for ours)."""
+def episodes_to_solve(
+    log_path: str,
+    reward_threshold: float | None = 660.0,
+    solved_threshold: float | None = None,
+) -> int | None:
+    """First Total Episodes at which the run counts as solved
+    (reference logger_analyzer.py:51-55 gates on eval reward > 660 for the
+    velocity task; for our hover task gate on the eval solved fraction via
+    ``solved_threshold`` instead — the same stop train_control uses)."""
     for row in _read_log(log_path):
-        if float(row["Reward avg"]) > reward_threshold:
+        if solved_threshold is not None:
+            if float(row["Solved avg"]) >= solved_threshold:
+                return int(float(row["Total Episodes"]))
+        elif float(row["Reward avg"]) > reward_threshold:
             return int(float(row["Total Episodes"]))
     return None
 
 
 def flight_hours_to_solve(
-    log_path: str, reward_threshold: float = 660.0, dt: float = 0.01
+    log_path: str,
+    reward_threshold: float | None = 660.0,
+    dt: float = 0.01,
+    solved_threshold: float | None = None,
 ) -> float | None:
     """Simulated flight hours until solve: Total Timesteps * dt / 3600
     (reference logger_analyzer.py:95-97)."""
     for row in _read_log(log_path):
-        if float(row["Reward avg"]) > reward_threshold:
+        if solved_threshold is not None:
+            if float(row["Solved avg"]) >= solved_threshold:
+                return float(row["Total Timesteps"]) * dt / 3600.0
+        elif float(row["Reward avg"]) > reward_threshold:
             return float(row["Total Timesteps"]) * dt / 3600.0
     return None

@@ -49,8 +49,8 @@ def aggregate(out_dir: str, size: int, seeds: list[int], dt: float = 0.01) -> di
         if not os.path.exists(path):
             unsolved.append(s)
             continue
-        e = episodes_to_solve(path, reward_threshold=25.0)
-        h = flight_hours_to_solve(path, reward_threshold=25.0, dt=dt)
+        e = episodes_to_solve(path, solved_threshold=0.95)
+        h = flight_hours_to_solve(path, dt=dt, solved_threshold=0.95)
         if e is None:
             unsolved.append(s)
         else:

@@ -83,3 +83,19 @@ def test_randomized_envs_diverge_from_identical_starts():
     )(states0)
     pos0 = np.asarray(final0.x[:, 0:5:2])
     assert np.std(pos0, axis=0).max() < 1e-6
+
+
+def test_randomization_scaled_curriculum():
+    """RandomizationConfig.scaled interpolates all magnitudes (curriculum
+    stages for train_control --robust --curriculum)."""
+    from autonomous_quadrotor_environment_tpu.config import RandomizationConfig
+
+    base = RandomizationConfig(enabled=True)
+    half = base.scaled(0.5)
+    assert half.enabled
+    assert half.d_m == base.d_m * 0.5
+    assert half.gust_std == tuple(g * 0.5 for g in base.gust_std)
+    calm = base.scaled(0.0)
+    assert not calm.enabled  # zero severity disables randomization outright
+    full = base.scaled(1.0)
+    assert full == base
