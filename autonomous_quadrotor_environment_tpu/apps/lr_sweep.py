@@ -85,8 +85,18 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     lrs = [float(x) for x in args.lrs.split(",")]
     os.makedirs(args.out, exist_ok=True)
+    rows_done = args.updates // args.eval_every  # full run => this many CSV rows
     for lr in lrs:
         for s in seeds_range(lr, args.seeds):
+            # Resumable: a run whose CSV already holds the full curve is
+            # skipped, so a killed/stalled sweep restarts where it left off.
+            csv_path = f"{args.out}/lr_{lr:g}/log_{args.size}_{s}.csv"
+            if os.path.exists(csv_path):
+                with open(csv_path) as f:
+                    if sum(1 for _ in f) - 1 >= rows_done:
+                        print(f"===== lr {lr:g} seed {s} (done, skipping) =====")
+                        continue
+                os.remove(csv_path)  # partial curve: restart the run clean
             print(f"===== lr {lr:g} seed {s} =====")
             train_control.main([
                 "--seed", str(s), "--size", str(args.size), "--lr", str(lr),
