@@ -38,6 +38,24 @@ def test_fixture_controller_solves_hover():
     assert float(out["eval_reward"]) > 15.0
 
 
+def test_landing_fixture_stored_half_precision():
+    """The shipped landing checkpoint stays f16-stored (~23MB, not 46MB)
+    and loads back as f32 params that drive the CNN forward pass."""
+    import os
+
+    from autonomous_quadrotor_environment_tpu.fixtures import (
+        LANDING_POLICY, load_landing_policy,
+    )
+
+    assert os.path.getsize(LANDING_POLICY) < 25e6
+    model, params = load_landing_policy()
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+    out = model.apply(
+        params, jnp.zeros((2, 84, 84, 3)), jnp.zeros((2, 75)), jnp.zeros((2, 3))
+    )
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(out))
+
+
 def test_replay_app_renders_frames(tmp_path):
     import pytest
 
