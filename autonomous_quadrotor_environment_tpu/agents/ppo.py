@@ -132,7 +132,7 @@ def rollout_batch(
     key: jax.Array,
     env_cfg: EnvConfig,
     steps: int,
-    reset_pool: int = 4,
+    reset_pool: int = 0,
 ) -> tuple[hover.EnvState, Rollout, jnp.ndarray]:
     """Collect `steps` transitions from every env in the batch.
 
@@ -269,7 +269,9 @@ def ppo_update(
     obs, actions, old_lp = flat(roll.obs), flat(roll.actions), flat(roll.logprobs)
     rets, advs = flat(returns), flat(advantages)
     n = obs.shape[0]
-    mb = cfg.minibatch_size if cfg.minibatch_size > 0 else n
+    # Clamp like landing/ppo.py: minibatch_size > n must mean "full batch",
+    # not an out-of-bounds permutation reshape below.
+    mb = min(cfg.minibatch_size, n) if cfg.minibatch_size > 0 else n
     n_mb = max(n // mb, 1)
     # Block-granular shuffle (see PPOConfig.shuffle_block): permuting
     # contiguous row blocks turns the minibatch extraction into DMA-friendly
@@ -310,7 +312,12 @@ def ppo_update(
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, metrics)
 
-        idxs = perm[: n_mb * (mb // block)].reshape(n_mb, mb // block)
+        # Full-batch updates ignore idx entirely — scan over a dummy index
+        # so no permutation gather is even built.
+        if full_batch:
+            idxs = jnp.zeros((1, 1), jnp.int32)
+        else:
+            idxs = perm[: n_mb * (mb // block)].reshape(n_mb, mb // block)
         (params, opt_state), (losses, metrics) = jax.lax.scan(
             minibatch, (params, opt_state), idxs
         )

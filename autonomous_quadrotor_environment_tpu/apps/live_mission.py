@@ -194,7 +194,7 @@ def main(argv=None) -> dict:
             if not headless and delay > 0:
                 time.sleep(delay)
     except KeyboardInterrupt:
-        pass
+        pass  # intentional: 'q'/^C ends the live session; cleanup in finally
     finally:
         if keys_src is not None:
             keys_src.close()

@@ -96,7 +96,16 @@ def main(argv=None) -> dict:
                     if sum(1 for _ in f) - 1 >= rows_done:
                         print(f"===== lr {lr:g} seed {s} (done, skipping) =====")
                         continue
-                os.remove(csv_path)  # partial curve: restart the run clean
+                # Partial curve: restart the run clean — including the JSONL
+                # (JSONLLogger appends, so a stale tail would read as one
+                # concatenated curve) and the in-progress checkpoint.
+                os.remove(csv_path)
+                for stale in (
+                    f"{args.out}/lr_{lr:g}/train_{args.size}_{s}.jsonl",
+                    f"{args.out}/lr_{lr:g}/untrained_networks/nn_{args.size}_{s}.msgpack",
+                ):
+                    if os.path.exists(stale):
+                        os.remove(stale)
             print(f"===== lr {lr:g} seed {s} =====")
             train_control.main([
                 "--seed", str(s), "--size", str(args.size), "--lr", str(lr),

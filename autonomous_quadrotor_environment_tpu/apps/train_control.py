@@ -40,8 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--curriculum", type=str, default=None, metavar="S1,S2,...",
         help="calm->windy robust curriculum: comma list of severities in "
-        "[0,1]; updates are split evenly across stages and each stage "
-        "scales the randomization magnitudes (RandomizationConfig.scaled). "
+        "[0,1]; each stage trains for updates//len(stages) updates (the "
+        "remainder extends the final stage) and scales the randomization "
+        "magnitudes (RandomizationConfig.scaled). "
         "E.g. --robust --curriculum 0,0.33,0.66,1.0",
     )
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0 = single)")
@@ -128,7 +129,9 @@ def main(argv=None) -> dict:
     last_eval = {}
 
     for i in range(1, args.updates + 1):
-        next_stage = min(i // per_stage, len(severities) - 1)
+        # (i-1)//per_stage so each stage trains for exactly per_stage updates
+        # (any remainder from updates % stages extends the final stage).
+        next_stage = min((i - 1) // per_stage, len(severities) - 1)
         if next_stage != stage_i:
             stage_i = next_stage
             sev = severities[stage_i]

@@ -63,7 +63,8 @@ def read_rows(path: str) -> list[dict]:
 
 
 def _col(rows, key):
-    return [r.get(key) for r in rows if key in r]
+    # Drop JSON nulls too: a logged None would crash min()/format below.
+    return [r[key] for r in rows if r.get(key) is not None]
 
 
 def render(rows: list[dict], path: str) -> str:
@@ -128,7 +129,7 @@ def main(argv=None) -> str:
                 sys.stdout.flush()
             time.sleep(args.interval)
     except KeyboardInterrupt:
-        pass
+        pass  # intentional: ^C is the normal way to leave the live dashboard
     return ""
 
 

@@ -9,12 +9,12 @@ before building the mesh.
 
 from __future__ import annotations
 
+import inspect
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import inspect
 
 from jax.sharding import Mesh, PartitionSpec as P
 
