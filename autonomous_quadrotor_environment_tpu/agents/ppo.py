@@ -394,10 +394,11 @@ def make_eval_fn(model: ActorCritic, env_cfg: EnvConfig, episodes: int, max_step
             reward_sum = reward_sum + out.reward * active
             solved = jnp.logical_or(solved, jnp.logical_and(out.solved, active))
             length = length + active.astype(jnp.int32)
-            # Station-keeping accumulator (robust criterion): |vel|^2 over
-            # active steps after the settling window.
+            # Station-keeping accumulator (robust criterion): |vel - target|^2
+            # over active steps after the settling window (target is zero for
+            # the hover task).
             late = jnp.logical_and(active, i >= settle_steps)
-            vel2 = jnp.sum(states.x[:, 1:6:2] ** 2, axis=-1)
+            vel2 = jnp.sum((states.x[:, 1:6:2] - states.vel_target) ** 2, axis=-1)
             v2_sum = v2_sum + vel2 * late
             v2_n = v2_n + late.astype(jnp.float32)
             finished = jnp.logical_or(finished, out.done)

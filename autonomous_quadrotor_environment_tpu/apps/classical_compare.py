@@ -160,11 +160,12 @@ def run_lqr(env_cfg: EnvConfig, starts: np.ndarray) -> np.ndarray:
     return np.asarray(jax.jit(jax.vmap(episode))(jnp.asarray(starts, jnp.float32)))
 
 
-def run_rl(env_cfg_direct: EnvConfig, starts: np.ndarray, model, params) -> np.ndarray:
-    """The trained PPO controller, deterministic actor
-    (reference ppo_quad_eval.py:44-62: training=False, T=5)."""
+def make_rl_runner(env_cfg_direct: EnvConfig, model):
+    """Once-jitted (params, starts) -> (E, 500, 13) log runner for the RL
+    leg — reusable across repeated calls (train_control --polish checks the
+    leg at every eval without recompiling)."""
 
-    def episode(x0):
+    def episode(params, x0):
         env_s = hover.reset(jax.random.PRNGKey(0), env_cfg_direct, det_state=x0)
 
         def body(env_s, _):
@@ -175,7 +176,14 @@ def run_rl(env_cfg_direct: EnvConfig, starts: np.ndarray, model, params) -> np.n
         env_s, log = jax.lax.scan(body, env_s, None, length=MAX_STEPS)
         return log
 
-    return np.asarray(jax.jit(jax.vmap(episode))(jnp.asarray(starts, jnp.float32)))
+    return jax.jit(jax.vmap(episode, in_axes=(None, 0)))
+
+
+def run_rl(env_cfg_direct: EnvConfig, starts: np.ndarray, model, params) -> np.ndarray:
+    """The trained PPO controller, deterministic actor
+    (reference ppo_quad_eval.py:44-62: training=False, T=5)."""
+    runner = make_rl_runner(env_cfg_direct, model)
+    return np.asarray(runner(params, jnp.asarray(starts, jnp.float32)))
 
 
 def _settling_time(norm_ok: np.ndarray, dt: float) -> float | None:

@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rollout-steps", type=int, default=128)
     p.add_argument("--eval-every", type=int, default=10)
     p.add_argument("--out", type=str, default="runs/seed_study")
+    p.add_argument(
+        "--task", type=str, default="hover", choices=("hover", "velocity"),
+        help="velocity = the reference's actual 30-seed task family "
+        "(results/seeds/velocity_training/, logger_analyzer.py:51-97)",
+    )
+    p.add_argument("--vel-target-max", type=float, default=1.0)
     p.add_argument("--reward-threshold", type=float, default=None,
                    help="episodes_to_solve eval-reward gate; default uses "
                    "the solved-fraction stop in train_control")
@@ -105,10 +111,22 @@ def main(argv=None) -> dict:
     seeds = list(range(args.start_seed, args.start_seed + args.seeds))
     for s in seeds:
         print(f"===== seed {s} =====")
+        # Resumable (CLAUDE.md tunnel rules): a seed whose CSV already shows
+        # a solved/full run is skipped so a killed study restarts cleanly.
+        csv_path = f"{args.out}/log_{args.size}_{s}.csv"
+        if os.path.exists(csv_path):
+            if episodes_to_solve(csv_path, solved_threshold=0.95) is not None:
+                print(f"(seed {s} already solved, skipping)")
+                continue
+            os.remove(csv_path)
+            stale = f"{args.out}/train_{args.size}_{s}.jsonl"
+            if os.path.exists(stale):
+                os.remove(stale)
         train_control.main([
             "--seed", str(s), "--size", str(args.size),
             "--updates", str(args.updates), "--num-envs", str(args.num_envs),
             "--rollout-steps", str(args.rollout_steps),
+            "--task", args.task, "--vel-target-max", str(args.vel_target_max),
             "--eval-every", str(args.eval_every), "--out", args.out,
         ])
     summary = aggregate(args.out, args.size, seeds)

@@ -38,6 +38,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-episodes", type=int, default=40)
     p.add_argument("--robust", action="store_true", help="domain randomization + wind")
     p.add_argument(
+        "--task", type=str, default="hover", choices=("hover", "velocity"),
+        help="hover = position/attitude stabilization (reference ppo.py); "
+        "velocity = per-episode random velocity-target tracking (the "
+        "reference's dedicated velocity controllers, "
+        "results/seeds/velocity_training/)",
+    )
+    p.add_argument(
+        "--vel-target-max", type=float, default=1.0,
+        help="velocity task: per-axis target range U[-max, max] [m/s]",
+    )
+    p.add_argument(
         "--curriculum", type=str, default=None, metavar="S1,S2,...",
         help="calm->windy robust curriculum: comma list of severities in "
         "[0,1]; each stage trains for updates//len(stages) updates (the "
@@ -48,6 +59,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0 = single)")
     p.add_argument("--out", type=str, default="runs/control")
     p.add_argument("--solved-threshold", type=float, default=0.95)
+    p.add_argument(
+        "--resume-from", type=str, default=None, metavar="CKPT",
+        help="warm-start params from a .msgpack checkpoint (e.g. a "
+        "seed-study solve) instead of a fresh init",
+    )
+    p.add_argument(
+        "--polish", action="store_true",
+        help="acceptance gate for matching the reference's committed RL "
+        "same-start log (classical_controller_results/rl_log_same_start.npy "
+        "= 100%%): at each eval also fly the 20 reference-seeded classical "
+        "start states and stop only when that leg is 20/20 AND the eval "
+        "solved rate holds 100%% AND an independent-key eval confirms >=95%%. "
+        "Combine with --resume-from and a few hundred --updates.",
+    )
     return p
 
 
@@ -58,10 +83,15 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     from ..config import RandomizationConfig
 
+    vel_max = (
+        (args.vel_target_max,) * 3 if args.task == "velocity" else (0.0, 0.0, 0.0)
+    )
+
     def stage_env_cfg(severity: float) -> EnvConfig:
         return EnvConfig(
             n_steps=1000,
             randomization=RandomizationConfig(enabled=args.robust).scaled(severity),
+            vel_target_max=vel_max,
         )
 
     # Calm->windy curriculum (VERDICT r1 item 3): equal update slices per
@@ -119,6 +149,33 @@ def main(argv=None) -> dict:
     model, state, train_step, eval_fn = build(
         stage_env_cfg(severities[0]), key
     )
+    if args.resume_from:
+        from ..utils import load_params
+
+        state = state.replace(params=load_params(args.resume_from, state.params))
+        print(f"resumed params from {args.resume_from}")
+
+    # --polish: the 20 reference-seeded classical start states, flown with
+    # the deterministic actor and scored by the reference analyzer's
+    # success criterion (classical_compare.py; reference
+    # results_analyzer.py:23-27). Built once; checked at every eval.
+    polish_runner = None
+    if args.polish:
+        import numpy as _np
+
+        from .classical_compare import analyze, make_rl_runner, reference_start_states
+
+        polish_cfg = EnvConfig(
+            n_steps=500, warmup=5, direct_control=True, training=False
+        )
+        polish_starts = jax.numpy.asarray(
+            reference_start_states(), jax.numpy.float32
+        )
+        _rl_runner = make_rl_runner(polish_cfg, model)
+
+        def polish_runner(params) -> float:
+            log = _np.asarray(_rl_runner(params, polish_starts))
+            return analyze(log, polish_cfg)["success_rate"]
 
     tag = f"{args.size}_{args.seed}"
     csv_log = CSVLogger(f"{args.out}/log_{tag}.csv", TRAIN_LOG_HEADER)
@@ -178,7 +235,26 @@ def main(argv=None) -> dict:
                 last_eval["eval_station_keeping"] if args.robust else last_eval["eval_solved"]
             )
             at_final_stage = stage_i == len(severities) - 1
-            if at_final_stage and solved_metric >= args.solved_threshold:
+            if args.polish:
+                # Polish acceptance: 20/20 on the reference's same-start
+                # classical leg AND 100% eval AND an independent-key
+                # confirmation >= 95% (guards against a lucky eval batch).
+                classical = polish_runner(state.params)
+                print(f"  polish: classical leg {classical:.0%}")
+                if classical >= 1.0 and last_eval["eval_solved"] >= 1.0:
+                    confirm = float(
+                        eval_fn(
+                            state.params, jax.random.fold_in(key, 10**6 + i)
+                        )["eval_solved"]
+                    )
+                    print(f"  polish: independent confirm {confirm:.1%}")
+                    if confirm >= 0.95:
+                        save_params(
+                            f"{args.out}/solved/nn_solved_{tag}.msgpack", state.params
+                        )
+                        print("########## Polished: classical 20/20 + eval 100% ##########")
+                        break
+            elif at_final_stage and solved_metric >= args.solved_threshold:
                 save_params(f"{args.out}/solved/nn_solved_{tag}.msgpack", state.params)
                 print("########## Solved! ##########")
                 break

@@ -176,6 +176,19 @@ class EnvConfig:
     # opt env logs direct-mode step effort in Newtons, (a+1)*T2WR*M*G/8
     # (quadrotor_env_opt.py:384), primary env in normalized units (:474).
     effort_is_force: bool = False
+    # Velocity-tracking task (the reference's dedicated velocity-trained
+    # controllers: results/seeds/velocity_training/ checkpoints analyzed by
+    # logger_analyzer.py:5-97; the frozen landing controller
+    # PPO_continuous_drone_velocity_solved.pth is one of these). Per-episode
+    # velocity target drawn U[-max, max] per axis; all-zero = hover task.
+    # The policy observes state-minus-target (the reference's dl_input
+    # convention, vel_control_ppo.py:129-137) and the reward/solve criteria
+    # act on the velocity ERROR.
+    vel_target_max: tuple = (0.0, 0.0, 0.0)
+
+    @property
+    def has_vel_target(self) -> bool:
+        return any(m > 0.0 for m in self.vel_target_max)
 
     @property
     def max_steps(self) -> int:

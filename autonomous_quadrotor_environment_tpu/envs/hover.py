@@ -50,6 +50,7 @@ class EnvState:
     abs_sum: jnp.ndarray      # ()   cumulative control effort
     hist: jnp.ndarray         # (T*15,) featurizer window
     last_action: jnp.ndarray  # (4,) previous clipped action
+    vel_target: jnp.ndarray   # (3,) per-episode velocity target (zeros = hover)
     dom: DomainParams
     key: jax.Array
 
@@ -109,9 +110,17 @@ def random_initial_state(key: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
     return x
 
 
-def _raw_state(x: jnp.ndarray, key: jax.Array, dom: DomainParams, t: int) -> EnvState:
+def _raw_state(
+    x: jnp.ndarray,
+    key: jax.Array,
+    dom: DomainParams,
+    t: int,
+    vel_target: jnp.ndarray | None = None,
+) -> EnvState:
     dtype = x.dtype
     ang = quat_euler(quat_normalize(x[6:10]))
+    if vel_target is None:
+        vel_target = jnp.zeros(3, dtype)
     return EnvState(
         x=x,
         i=jnp.zeros((), jnp.int32),
@@ -125,6 +134,7 @@ def _raw_state(x: jnp.ndarray, key: jax.Array, dom: DomainParams, t: int) -> Env
         abs_sum=jnp.zeros((), dtype),
         hist=init_hist(t, dtype),
         last_action=jnp.zeros(4, dtype),
+        vel_target=jnp.asarray(vel_target, dtype),
         dom=dom,
         key=key,
     )
@@ -169,9 +179,15 @@ def step(state: EnvState, action: jnp.ndarray, cfg: EnvConfig) -> tuple[EnvState
     # (reference :470-479).
     reward_action = aux.motor.clipped_action if cfg.direct_control else jnp.asarray(action, dtype)
 
+    # Velocity-tracking task: reward/solve act on the velocity ERROR; for
+    # the hover task vel_target is zeros and this is the identity. The
+    # bounding-box termination above stays on ABSOLUTE velocity (reference
+    # done_condition semantics, quadrotor_env.py:500-509).
+    vel_err = x_new[1:6:2] - state.vel_target
+
     rew = hover_reward(
         cfg.reward,
-        vel=x_new[1:6:2],
+        vel=vel_err,
         ang=ang,
         ang_vel=x_new[10:13],
         action=reward_action,
@@ -192,8 +208,12 @@ def step(state: EnvState, action: jnp.ndarray, cfg: EnvConfig) -> tuple[EnvState
 
     quat_state = jnp.concatenate([x_new[0:10], aux.v_q])
     # The history window records the *raw* policy action (the reference's
-    # worker feeds dl_input the sampled action before clipping, ppo.py:240,250).
-    hist = push_hist(state.hist, quat_state, jnp.asarray(action, dtype)[:4])
+    # worker feeds dl_input the sampled action before clipping, ppo.py:240,250)
+    # and observes state-minus-target in the velocity slots (the reference's
+    # dl_input(state + ERROR) convention, vel_control_ppo.py:129-137; zeros
+    # for the hover task).
+    obs_state = quat_state.at[1:6:2].add(-state.vel_target)
+    hist = push_hist(state.hist, obs_state, jnp.asarray(action, dtype)[:4])
 
     new_state = EnvState(
         x=x_new,
@@ -208,6 +228,7 @@ def step(state: EnvState, action: jnp.ndarray, cfg: EnvConfig) -> tuple[EnvState
         abs_sum=abs_sum,
         hist=hist,
         last_action=reward_action,
+        vel_target=state.vel_target,
         dom=dom,
         key=key,
     )
@@ -236,7 +257,15 @@ def reset(
         x0 = random_initial_state(k_init, dtype)
     else:
         x0 = jnp.asarray(det_state, dtype)
-    state = _raw_state(x0, k_state, dom, cfg.hist_t)
+    # Velocity task only: the extra split is gated statically so the hover
+    # task's reset RNG stream stays bit-identical to rounds 1-2 (fixtures,
+    # classical same-start legs, and the landing benchmark depend on it).
+    vel_target = None
+    if cfg.has_vel_target:
+        k_state, k_tgt = jax.random.split(k_state)
+        vmax = jnp.asarray(cfg.vel_target_max, dtype)
+        vel_target = jax.random.uniform(k_tgt, (3,), dtype, -1.0, 1.0) * vmax
+    state = _raw_state(x0, k_state, dom, cfg.hist_t, vel_target)
 
     if cfg.warmup > 0:
         zc = zero_control(cfg, dtype)
