@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-episodes", type=int, default=40)
     p.add_argument("--robust", action="store_true", help="domain randomization + wind")
     p.add_argument(
+        "--severity-sample", action="store_true",
+        help="per-episode severity s~U[0,1] scaling all perturbations (each "
+        "batch spans calm..windy, preventing calm forgetting; "
+        "RandomizationConfig.severity_sample). Stage severity = upper bound.",
+    )
+    p.add_argument(
         "--task", type=str, default="hover", choices=("hover", "velocity"),
         help="hover = position/attitude stabilization (reference ppo.py); "
         "velocity = per-episode random velocity-target tracking (the "
@@ -90,7 +96,9 @@ def main(argv=None) -> dict:
     def stage_env_cfg(severity: float) -> EnvConfig:
         return EnvConfig(
             n_steps=1000,
-            randomization=RandomizationConfig(enabled=args.robust).scaled(severity),
+            randomization=RandomizationConfig(
+                enabled=args.robust, severity_sample=args.severity_sample
+            ).scaled(severity),
             vel_target_max=vel_max,
         )
 

@@ -76,6 +76,14 @@ class RandomizationConfig:
     d_j: float = 0.1        # inertia-diagonal factor, N(0, d_j) per axis
     gust_std: tuple = (5.0, 5.0, 2.0)  # wind gust std per axis [m/s]
     gust_period: int = 500  # integration steps between gust resamples
+    # Per-EPISODE severity sampling: each reset draws s ~ U[0, 1] and scales
+    # every perturbation magnitude (incl. mid-episode wind gusts, via
+    # DomainParams.gust_scale) by s. Training then sees the full
+    # calm-to-windy spectrum in every batch, so late robust training cannot
+    # forget the calm regime — the failure mode of a staged curriculum
+    # (round-2/3 result: staged curricula plateau at ~93-94% calm strict).
+    # Composes with .scaled(): the stage severity becomes the UPPER bound.
+    severity_sample: bool = False
 
     def scaled(self, severity: float) -> "RandomizationConfig":
         """Curriculum stage: all perturbation magnitudes scaled by

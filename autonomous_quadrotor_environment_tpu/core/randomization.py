@@ -29,6 +29,7 @@ class DomainParams:
     j_factor: jnp.ndarray     # (3,)  inertia diagonal factor, N(0, d_j)
     gust_last: jnp.ndarray    # (3,)  previous wind gust [m/s]
     gust_next: jnp.ndarray    # (3,)  current wind gust target [m/s]
+    gust_scale: jnp.ndarray   # ()    per-episode wind severity multiplier
 
 
 def zeros_domain(dtype=jnp.float32) -> DomainParams:
@@ -41,6 +42,7 @@ def zeros_domain(dtype=jnp.float32) -> DomainParams:
         j_factor=jnp.zeros(3, dtype),
         gust_last=z3,
         gust_next=z3,
+        gust_scale=jnp.ones((), dtype),
     )
 
 
@@ -54,22 +56,33 @@ def sample_domain(key: jax.Array, cfg: RandomizationConfig, dtype=jnp.float32) -
         return zeros_domain(dtype)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     gust_std = jnp.asarray(cfg.gust_std, dtype)
+    # Per-episode severity (cfg.severity_sample): one s ~ U[0, 1] scales
+    # every magnitude below, so a training batch spans calm..full-windy
+    # regimes (see RandomizationConfig). The extra split is gated statically
+    # so the severity_sample=False RNG stream is unchanged.
+    if cfg.severity_sample:
+        key, k_sev = jax.random.split(k5)
+        sev = jax.random.uniform(k_sev, (), dtype)
+        k5 = key
+    else:
+        sev = jnp.ones((), dtype)
     # The normal factors are clipped to +/-2 sigma: the reference samples
     # unbounded normals (quadrotor_env.py:98-100), which at our batched
     # episode counts eventually draws mass_factor <= -1 (non-positive mass,
     # NaN dynamics) — a latent reference bug surfaced by scale, fixed as a
     # documented divergence.
     return DomainParams(
-        kf_degrade=jax.random.uniform(k1, (4,), dtype) * cfg.d_kf,
-        mass_factor=jnp.clip(
+        kf_degrade=jax.random.uniform(k1, (4,), dtype) * cfg.d_kf * sev,
+        mass_factor=sev * jnp.clip(
             jax.random.normal(k2, (), dtype) * cfg.d_m, -2.0 * cfg.d_m, 2.0 * cfg.d_m
         ),
-        ir_factor=jax.random.uniform(k3, (4,), dtype) * cfg.d_ir,
-        j_factor=jnp.clip(
+        ir_factor=jax.random.uniform(k3, (4,), dtype) * cfg.d_ir * sev,
+        j_factor=sev * jnp.clip(
             jax.random.normal(k4, (3,), dtype) * cfg.d_j, -2.0 * cfg.d_j, 2.0 * cfg.d_j
         ),
         gust_last=jnp.zeros(3, dtype),
-        gust_next=jax.random.normal(k5, (3,), dtype) * gust_std,
+        gust_next=jax.random.normal(k5, (3,), dtype) * gust_std * sev,
+        gust_scale=sev,
     )
 
 
@@ -92,7 +105,9 @@ def wind_update(
     idx = (i % period) - 1
     resample = idx == 0
     gust_std = jnp.asarray(cfg.gust_std, dom.gust_next.dtype)
-    new_gust = jax.random.normal(key, (3,), dom.gust_next.dtype) * gust_std
+    # Mid-episode resamples honor the episode's severity draw (gust_scale
+    # is 1 unless cfg.severity_sample put the episode at severity s).
+    new_gust = jax.random.normal(key, (3,), dom.gust_next.dtype) * gust_std * dom.gust_scale
     gust_last = jnp.where(resample, dom.gust_next, dom.gust_last)
     gust_next = jnp.where(resample, new_gust, dom.gust_next)
     frac = jnp.clip(idx, 0, period - 1).astype(dom.gust_next.dtype) / (period - 1)

@@ -90,6 +90,12 @@ def profile_landing():
         return (time.time() - t0) / n * 1e3  # ms
 
     res = {"B": B, "T": T, "k_epochs": ppo_cfg.k_epochs, "mb": ppo_cfg.minibatch_size}
+    os.makedirs("runs/r3", exist_ok=True)
+
+    def flush():  # incremental flush (CLAUDE.md tunnel rules)
+        with open("runs/r3/landing_profile_partial.json", "w") as f:
+            json.dump(res, f, indent=2)
+        print(json.dumps(res), flush=True)
 
     # (a) full train step
     s_holder = [state]
@@ -100,6 +106,7 @@ def profile_landing():
         return metrics["loss"]
 
     res["full_step_ms"] = timed(full, lambda x: float(x))
+    flush()
     state = s_holder[0]
 
     # (b) rollout only (incl. reset pool + render + CNN forward + 10:1 physics)
@@ -113,6 +120,7 @@ def profile_landing():
         lambda: roll_fn(state.params, state.env_states, state.obs, k),
         lambda out: float(out[2].rewards[0, 0]),
     )
+    flush()
 
     # capture one rollout's flat tensors for the update-side measurements
     env_states, obs, roll, bootstrap = jax.block_until_ready(
@@ -140,6 +148,7 @@ def profile_landing():
     res["n_grad_steps"] = n_grad_steps
     res["update_inferred_ms"] = res["full_step_ms"] - res["rollout_ms"]
     res["grad_total_ms"] = res["grad_minibatch_ms"] * n_grad_steps
+    flush()
 
     # (d) render only: one nadir frame per env, the per-decision render load
     cam = make_camera(cfgs.camera)
@@ -149,9 +158,10 @@ def profile_landing():
         jax.vmap(lambda p, m: render_nadir(cam, p, m, cfgs.marker, ground_z_env=cfgs.landing.ground_z))
     )
     res["render_batch_ms"] = timed(
-        lambda: render_fn(pos, mk), lambda img: float(img[0, 0, 0])
+        lambda: render_fn(pos, mk), lambda img: float(img.ravel()[0])
     )
     res["render_per_rollout_ms"] = res["render_batch_ms"] * T
+    flush()
 
     # (e) CNN forward (actor) on one batch of observations
     fwd = jax.jit(lambda p, im, s: model.apply(p, im, s, method="actor"))
@@ -160,8 +170,16 @@ def profile_landing():
         lambda a: float(a[0, 0]),
     )
     res["cnn_fwd_per_rollout_ms"] = res["cnn_fwd_batch_ms"] * T
+    flush()
 
-    os.makedirs("runs/r3", exist_ok=True)
+    # (f) committed trace of one full step (docs/PERF.md methodology)
+    try:
+        with jax.profiler.trace("docs/profile/landing"):
+            float(full())
+        res["trace"] = "docs/profile/landing"
+    except Exception as e:
+        res["trace_error"] = str(e)
+
     with open("runs/r3/landing_profile.json", "w") as f:
         json.dump(res, f, indent=2)
     print(json.dumps(res, indent=2), flush=True)
@@ -177,7 +195,7 @@ def polish():
         if os.path.exists(solved):
             print(f"polish: {solved} already exists", flush=True)
             return solved
-        ckpt = f"runs/seed_study/nn_solved_128_{s}.msgpack"
+        ckpt = f"runs/seed_study/solved/nn_solved_128_{s}.msgpack"
         banner(f"polish attempt from seed-study ckpt {s}")
         train_control.main([
             "--polish", "--resume-from", ckpt, "--seed", str(s),
@@ -214,6 +232,31 @@ def robust4k():
     ])
     with open("runs/ctrl_robust_r4/eval.json", "w") as f:
         json.dump({k: {m: float(v) for m, v in row.items()} for k, row in table.items()}, f, indent=2)
+    return table
+
+
+# ------------------------------------------------------------ stage 4b
+def robust_mix():
+    """Severity-sampled fine-tune of the r4 curriculum checkpoint: each
+    episode draws s~U[0,1], so calm and windy are trained jointly and the
+    calm regime can't be forgotten (the staged-curriculum failure mode)."""
+    from autonomous_quadrotor_environment_tpu.apps import robust_eval, train_control
+
+    final = "runs/ctrl_robust_r5/nn_final_128_0.msgpack"
+    if not os.path.exists(final):
+        train_control.main([
+            "--robust", "--severity-sample", "--curriculum", "1.0",
+            "--resume-from", "runs/ctrl_robust_r4/nn_final_128_0.msgpack",
+            "--updates", "2000", "--eval-every", "20", "--seed", "0",
+            "--solved-threshold", "1.1",  # run the full budget
+            "--out", "runs/ctrl_robust_r5",
+        ])
+    table = robust_eval.main([
+        "--nominal", FIXTURE_CTRL, "--robust", final, "--episodes", "256",
+    ])
+    with open("runs/ctrl_robust_r5/eval.json", "w") as f:
+        json.dump({k: {m: float(v) for m, v in row.items()} for k, row in table.items()},
+                  f, indent=2)
     return table
 
 
@@ -265,6 +308,7 @@ if __name__ == "__main__":
     stage("polish", None, polish)
     stage("vel_train", "runs/vel_control/nn_final_128_0.msgpack", vel_train)
     stage("robust4k", "runs/ctrl_robust_r4/eval.json", robust4k)
+    stage("robust_mix", "runs/ctrl_robust_r5/eval.json", robust_mix)
     stage("lr_sweep", "runs/lr_sweep/summary.json", lr_sweep_stage)
     stage("step_response", "runs/vel_control/step_response.json", step_response_stage)
     stage("vel_seed_study", "runs/seed_study_vel/summary.json", vel_seed_study)

@@ -85,6 +85,38 @@ def test_randomized_envs_diverge_from_identical_starts():
     assert np.std(pos0, axis=0).max() < 1e-6
 
 
+def test_severity_sample_spans_calm_to_windy():
+    """severity_sample=True: each episode draws s~U[0,1] scaling every
+    perturbation, so one batch contains near-calm AND near-full episodes;
+    mid-episode gust resamples honor the same episode severity via
+    DomainParams.gust_scale."""
+    cfg = RandomizationConfig(enabled=True, severity_sample=True)
+    keys = jax.random.split(jax.random.PRNGKey(0), 1024)
+    doms = jax.jit(jax.vmap(lambda k: sample_domain(k, cfg)))(keys)
+    sev = np.asarray(doms.gust_scale)
+    assert sev.shape == (1024,)
+    assert 0.0 <= sev.min() < 0.05 and 0.95 < sev.max() <= 1.0  # spans U[0,1]
+    # magnitudes track the episode severity: |gust_next| is bounded by
+    # what the severity allows, and low-severity episodes are near-calm
+    gust = np.abs(np.asarray(doms.gust_next))
+    calm = sev < 0.1
+    windy = sev > 0.9
+    assert gust[calm].max() < gust[windy].mean() + 1e-6
+    assert np.abs(np.asarray(doms.mass_factor)[calm]).max() <= 0.1 * 2 * cfg.d_m + 1e-6
+
+    # wind_update resamples scale with gust_scale: a zero-severity episode
+    # never sees wind
+    dom0 = jax.tree.map(lambda a: a[int(np.argmin(sev))], doms)
+    dom0 = dom0.replace(gust_scale=jnp.zeros(()), gust_next=jnp.zeros(3))
+    dom, w = wind_update(dom0, jax.random.PRNGKey(5), jnp.asarray(1), cfg)
+    np.testing.assert_allclose(np.asarray(dom.gust_next), 0.0)
+
+    # default path is unchanged: severity_sample=False keeps gust_scale = 1
+    base = RandomizationConfig(enabled=True)
+    dom_b = sample_domain(jax.random.PRNGKey(7), base)
+    assert float(dom_b.gust_scale) == 1.0
+
+
 def test_randomization_scaled_curriculum():
     """RandomizationConfig.scaled interpolates all magnitudes (curriculum
     stages for train_control --robust --curriculum)."""
