@@ -284,6 +284,25 @@ def ppo_update(
     # Full-batch updates (the reference's state PPO, minibatch_size=0) use
     # every row each step — shuffling is a no-op on the mean loss, skip it.
     full_batch = n_mb == 1 and mb >= n
+    # Fused Pallas gradient kernel (ops/ppo_fused.py): eligible when the
+    # model is the fixed-std ActorCritic and rows divide into shuffle
+    # blocks. The kernel consumes the *block ids* directly — the minibatch
+    # is never gathered — so it needs block > 1 (or a full batch, where the
+    # identity block order streams rows in place).
+    use_fused = (
+        cfg.fused_update
+        and not cfg.learn_std
+        and actions.shape[1] == 4
+        and (block > 1 or full_batch)
+        and n % max(block, 1) == 0
+    )
+    if use_fused:
+        from ..ops.ppo_fused import fused_ppo_grad, pack_aux
+
+        fused_tile = block if block > 1 else min(n, 512)
+        use_fused = n % fused_tile == 0 and mb % fused_tile == 0
+    if use_fused:
+        aux = pack_aux(actions, old_lp, rets, advs)
 
     def epoch(carry, epoch_key):
         params, opt_state = carry
@@ -291,21 +310,34 @@ def ppo_update(
 
         def minibatch(carry, idx):
             params, opt_state = carry
-            if full_batch:
-                batch = lambda x: x
-            elif block > 1:
-                batch = lambda x: x.reshape((n // block, block) + x.shape[1:])[
-                    idx
-                ].reshape((mb,) + x.shape[1:])
+            if use_fused:
+                if full_batch:
+                    blocks = jnp.arange(n // fused_tile, dtype=jnp.int32)
+                else:
+                    blocks = idx.astype(jnp.int32)
+                loss, metrics, grads = fused_ppo_grad(
+                    params, obs, aux, blocks,
+                    tile=fused_tile, action_std=cfg.action_std,
+                    clip_eps=cfg.clip_eps, entropy_coef=cfg.entropy_coef,
+                    # Mosaic compiles only on TPU; the CPU suite interprets.
+                    interpret=jax.default_backend() != "tpu",
+                )
             else:
-                batch = lambda x: jnp.take(x, idx, axis=0)
-            (loss, metrics), grads = jax.value_and_grad(
-                lambda p: ppo_loss(
-                    model, p, batch(obs), batch(actions), batch(old_lp),
-                    batch(rets), batch(advs), cfg,
-                ),
-                has_aux=True,
-            )(params)
+                if full_batch:
+                    batch = lambda x: x
+                elif block > 1:
+                    batch = lambda x: x.reshape((n // block, block) + x.shape[1:])[
+                        idx
+                    ].reshape((mb,) + x.shape[1:])
+                else:
+                    batch = lambda x: jnp.take(x, idx, axis=0)
+                (loss, metrics), grads = jax.value_and_grad(
+                    lambda p: ppo_loss(
+                        model, p, batch(obs), batch(actions), batch(old_lp),
+                        batch(rets), batch(advs), cfg,
+                    ),
+                    has_aux=True,
+                )(params)
             if grad_reduce is not None:
                 grads = grad_reduce(grads)
             updates, opt_state = tx.update(grads, opt_state, params)

@@ -266,6 +266,13 @@ class PPOConfig:
     # K=10 x 131072-minibatch update at 2048x256). 1 = per-row permutation
     # (the reference's exact shuffle, ppo.py:176).
     shuffle_block: int = 128
+    # Use the fused Pallas update kernel (ops/ppo_fused.py): forward + hand-
+    # derived backward of one minibatch gradient step in a single HBM pass,
+    # activations pinned in VMEM, the block shuffle expressed as the kernel's
+    # DMA schedule. Only valid for the fixed-std ActorCritic (learn_std
+    # False); ppo_update silently falls back to the XLA path when the batch
+    # shape or model doesn't qualify.
+    fused_update: bool = False
 
     @staticmethod
     def landing_variant() -> "PPOConfig":

@@ -260,6 +260,51 @@ def robust_mix():
     return table
 
 
+# ------------------------------------------------------------ stage 4c
+def fused_bench():
+    """Time the state-controller train step with PPOConfig.fused_update on
+    vs off at the bench shape (2048x256, mb=131072, block=128). The fused
+    Pallas kernel (ops/ppo_fused.py) eliminates the per-grad-step HBM
+    activation round-trips docs/PERF.md measured at ~10x the FLOP cost."""
+    import dataclasses
+
+    from autonomous_quadrotor_environment_tpu.agents import make_train_step, ppo_init
+    from autonomous_quadrotor_environment_tpu.config import (
+        EnvConfig,
+        PPOConfig,
+        TrainConfig,
+    )
+
+    env_cfg = EnvConfig(n_steps=1000)
+    train_cfg = TrainConfig(num_envs=2048, rollout_steps=256, network_size=128)
+    res = {}
+    for fused in (False, True):
+        ppo_cfg = PPOConfig(k_epochs=10, minibatch_size=131072, fused_update=fused)
+        model, tx, state = ppo_init(
+            jax.random.PRNGKey(0), env_cfg, ppo_cfg, train_cfg
+        )
+        step = jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
+        state, m = step(state)
+        float(m["loss"])  # host-value fence (CLAUDE.md: block_until_ready lies)
+        t0 = time.time()
+        for _ in range(5):
+            state, m = step(state)
+            loss = float(m["loss"])
+        dt = (time.time() - t0) / 5
+        res["fused" if fused else "xla"] = {
+            "ms_per_update": round(dt * 1e3, 1),
+            "env_steps_per_s": round(2048 * 256 / dt, 0),
+            "final_loss": loss,
+        }
+        print(json.dumps(res), flush=True)
+    res["speedup"] = round(
+        res["xla"]["ms_per_update"] / res["fused"]["ms_per_update"], 3
+    )
+    with open("runs/r3/fused_bench.json", "w") as f:
+        json.dump(res, f, indent=2)
+    return res
+
+
 # ---------------------------------------------------------------- stage 5
 def lr_sweep_stage():
     from autonomous_quadrotor_environment_tpu.apps import lr_sweep
@@ -309,6 +354,7 @@ if __name__ == "__main__":
     stage("vel_train", "runs/vel_control/nn_final_128_0.msgpack", vel_train)
     stage("robust4k", "runs/ctrl_robust_r4/eval.json", robust4k)
     stage("robust_mix", "runs/ctrl_robust_r5/eval.json", robust_mix)
+    stage("fused_bench", "runs/r3/fused_bench.json", fused_bench)
     stage("lr_sweep", "runs/lr_sweep/summary.json", lr_sweep_stage)
     stage("step_response", "runs/vel_control/step_response.json", step_response_stage)
     stage("vel_seed_study", "runs/seed_study_vel/summary.json", vel_seed_study)
