@@ -19,6 +19,7 @@ import jax.numpy as jnp
 FIXTURE_DIR = os.path.dirname(os.path.abspath(__file__))
 SOLVED_CONTROLLER = os.path.join(FIXTURE_DIR, "nn_solved_128_0.msgpack")
 LANDING_POLICY = os.path.join(FIXTURE_DIR, "landing_policy.msgpack")
+ROBUST_CONTROLLER = os.path.join(FIXTURE_DIR, "nn_robust_128_0.msgpack")
 
 
 def load_solved_controller():
@@ -29,6 +30,26 @@ def load_solved_controller():
     model = ActorCritic(hidden=128)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
     return model, load_params(SOLVED_CONTROLLER, template)
+
+
+def load_robust_controller():
+    """(model, params) for the shipped robust state controller.
+
+    Trained by the round-3 calm->windy curriculum (4000 updates, 8-stage
+    severity schedule, runs/ctrl_robust_r4) plus a 2000-update severity-
+    sampled fine-tune (each episode draws severity~U[0,1], apps/
+    train_control.py --severity-sample, runs/ctrl_robust_r5). 256-episode
+    cross-eval (apps/robust_eval.py): calm 98.0% strict station-keeping
+    solve / windy 57.4% at full severity (5 m/s gusts + randomized params)
+    vs the nominal fixture's 91.4% / 0%. Reference feature: robust_control,
+    quadrotor_env.py:84-109.
+    """
+    from ..agents.networks import ActorCritic
+    from ..utils import load_params
+
+    model = ActorCritic(hidden=128)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
+    return model, load_params(ROBUST_CONTROLLER, template)
 
 
 def load_landing_policy():

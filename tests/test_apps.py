@@ -38,6 +38,26 @@ def test_fixture_controller_solves_hover():
     assert float(out["eval_reward"]) > 15.0
 
 
+def test_robust_fixture_station_keeps_in_wind():
+    """The shipped robust controller (fixtures/nn_robust_128_0.msgpack,
+    TPU-measured calm 98.0%/windy 57.4% at 256 episodes) must still hold
+    station under full-severity wind+randomization on a small eval, where
+    the nominal fixture scores 0%."""
+    from autonomous_quadrotor_environment_tpu.agents import make_eval_fn
+    from autonomous_quadrotor_environment_tpu.config import (
+        EnvConfig,
+        RandomizationConfig,
+    )
+    from autonomous_quadrotor_environment_tpu.fixtures import load_robust_controller
+
+    model, params = load_robust_controller()
+    cfg = EnvConfig(n_steps=1000, randomization=RandomizationConfig(enabled=True))
+    eval_fn = jax.jit(make_eval_fn(model, cfg, episodes=16))
+    out = eval_fn(params, jax.random.PRNGKey(3))
+    assert float(out["eval_station_keeping"]) >= 0.25, dict(out)
+    assert float(out["eval_rms_vel_late"]) < 0.5, dict(out)
+
+
 def test_landing_fixture_stored_half_precision():
     """The shipped landing checkpoint stays f16-stored (~23MB, not 46MB)
     and loads back as f32 params that drive the CNN forward pass."""
