@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--episodes", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--oracle", action="store_true", help="also run the PI oracle")
+    p.add_argument("--conv-dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="CNN compute dtype (params stay f32; bf16 is the "
+                        "mixed-precision trainer's inference path)")
     return p
 
 
@@ -48,7 +52,7 @@ def main(argv=None) -> dict:
     results = {}
 
     if args.policy:
-        model = LandingActorCritic()
+        model = LandingActorCritic(dtype=jnp.dtype(args.conv_dtype))
         template = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)),
             jnp.zeros((1, 3)),

@@ -54,8 +54,13 @@ def landing_ppo_init(
     num_envs: int,
     ctrl_model: Any,
     ctrl_params: Any,
+    conv_dtype=jnp.float32,
 ):
-    model = LandingActorCritic(action_std=ppo_cfg.action_std)
+    """`conv_dtype=jnp.bfloat16` runs both conv trunks + heads in bf16
+    compute (params stay f32; loss math upcasts at the model boundary) —
+    the conv grad steps are MXU-bound at ~50% f32 MFU, so bf16 roughly
+    doubles their ceiling (measured in runs/r3/landing_opt.json)."""
+    model = LandingActorCritic(action_std=ppo_cfg.action_std, dtype=conv_dtype)
     k_model, k_envs, k_state = jax.random.split(key, 3)
     params = model.init(
         k_model, jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)), jnp.zeros((1, 3))
@@ -98,6 +103,7 @@ from ..agents.ppo import (  # shared done-select / key-repr helpers
 def landing_rollout(
     model, params, env_states, obs: LandingObs, key, cfgs: LandingConfigs,
     ctrl_model, ctrl_params, steps: int, reset_pool: int = 2,
+    image_dtype=None,
 ):
     """Collect `steps` decisions from every env (autoreset).
 
@@ -124,13 +130,17 @@ def landing_rollout(
 
     def body(carry, step_key):
         env_states, obs, slot = carry
+        # Sampling/logprob math stays f32 even when the model computes bf16.
         mean = model.apply(params, obs.image, obs.control_in, method="actor")
+        mean = mean.astype(jnp.float32)
         log_std = params["params"]["log_std"]
         action = mean + jnp.exp(log_std) * jax.random.normal(
             step_key, mean.shape, mean.dtype
         )
         logprob = _dist_logprob(mean, log_std, action)
-        value = model.apply(params, obs.image, obs.control_in, action, method="critic")
+        value = model.apply(
+            params, obs.image, obs.control_in, action, method="critic"
+        ).astype(jnp.float32)
         if use_pool:
             stepped, out = jax.vmap(
                 lambda s, a: landing_step(s, a, cfgs, ctrl_model, ctrl_params)
@@ -154,7 +164,9 @@ def landing_rollout(
             )(env_states, action)
             next_obs = out.obs
         roll = LandingRollout(
-            images=obs.image,
+            # bf16 storage halves the update loop's dominant HBM stream (the
+            # per-epoch minibatch gather of the (T*B, 84, 84, 3) images).
+            images=obs.image if image_dtype is None else obs.image.astype(image_dtype),
             sens=obs.control_in,
             actions=action,
             logprobs=logprob,
@@ -172,14 +184,20 @@ def landing_rollout(
     )
     # Bootstrap: critic at the next observation with the deterministic action.
     mean = model.apply(params, obs.image, obs.control_in, method="actor")
-    bootstrap = model.apply(params, obs.image, obs.control_in, mean, method="critic")
+    bootstrap = model.apply(
+        params, obs.image, obs.control_in, mean, method="critic"
+    ).astype(jnp.float32)
     return env_states, obs, roll, bootstrap
 
 
 def landing_loss(model, params, images, sens, actions, old_lp, returns, advs, cfg: PPOConfig):
-    mean = model.apply(params, images, sens, method="actor")
+    # Model compute may be bf16 (landing_ppo_init conv_dtype); the surrogate
+    # / ratio / MSE math is always f32.
+    mean = model.apply(params, images, sens, method="actor").astype(jnp.float32)
     log_std = params["params"]["log_std"]
-    value = model.apply(params, images, sens, actions, method="critic")
+    value = model.apply(
+        params, images, sens, actions, method="critic"
+    ).astype(jnp.float32)
     logprob = _dist_logprob(mean, log_std, actions)
     ratios = jnp.exp(logprob - old_lp)
     surr1 = ratios * advs
@@ -206,12 +224,14 @@ def make_landing_train_step(
     grad_reduce: Callable | None = None,
     metric_reduce: Callable | None = None,
     reset_pool: int = 2,
+    image_dtype=None,
 ):
     def train_step(state: LandingTrainState):
         key, k_roll, k_upd = jax.random.split(state.key, 3)
         env_states, obs, roll, bootstrap = landing_rollout(
             model, state.params, state.env_states, state.obs, k_roll, cfgs,
             ctrl_model, ctrl_params, rollout_steps, reset_pool=reset_pool,
+            image_dtype=image_dtype,
         )
         returns, advs = gae_advantages(
             roll.rewards, roll.values, roll.dones, bootstrap,

@@ -156,6 +156,37 @@ def test_landing_train_step_smoke():
     assert int(state.update_i) == 1
 
 
+def test_landing_train_step_bf16_matches_f32():
+    """Mixed-precision trainer contract (landing_ppo_init conv_dtype +
+    image_dtype): bf16 conv compute / bf16-stored rollout images keep params
+    f32 and produce per-step metrics within bf16 tolerance of the f32 path
+    under identical keys."""
+    import dataclasses
+
+    model_c, params_c = _ctrl()
+    ppo_cfg = dataclasses.replace(
+        PPOConfig.landing_variant(), k_epochs=1, minibatch_size=8, shuffle_block=8
+    )
+    out = {}
+    for conv, img in ((jnp.float32, None), (jnp.bfloat16, jnp.bfloat16)):
+        model, tx, state = landing_ppo_init(
+            jax.random.PRNGKey(0), CFGS, ppo_cfg, num_envs=2, ctrl_model=model_c,
+            ctrl_params=params_c, conv_dtype=conv,
+        )
+        train_step = jax.jit(make_landing_train_step(
+            model, tx, CFGS, ppo_cfg, model_c, params_c, rollout_steps=4,
+            image_dtype=img,
+        ))
+        for _ in range(2):
+            state, metrics = train_step(state)
+        assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+        out[conv.__name__] = (float(metrics["loss"]), float(metrics["reward_per_decision"]))
+    loss32, rew32 = out["float32"]
+    loss16, rew16 = out["bfloat16"]
+    np.testing.assert_allclose(loss16, loss32, rtol=0.05)
+    np.testing.assert_allclose(rew16, rew32, rtol=0.05, atol=0.02)
+
+
 def test_landing_eval_smoke():
     model_c, params_c = _ctrl()
     model = LandingActorCritic()
