@@ -78,7 +78,16 @@ def bench_controller(platform: str) -> dict:
         num_envs, rollout_steps, minibatch = 256, 64, 0
 
     env_cfg = EnvConfig(n_steps=1000)
-    ppo_cfg = PPOConfig(k_epochs=10, minibatch_size=minibatch)
+    # fused_update: the Pallas one-HBM-pass gradient kernel (ops/ppo_fused.py).
+    # At its best tile (shuffle_block=1024 -> 128-row-block grid of 1024-row
+    # tiles) the isolated K=10 update drops 87.5 -> ~62 ms vs the XLA path at
+    # its own best block (docs/PERF.md round-3 section); equivalence is pinned
+    # in tests/test_ops.py. The XLA fallback prefers block=128.
+    fused = platform == "tpu"
+    ppo_cfg = PPOConfig(
+        k_epochs=10, minibatch_size=minibatch, fused_update=fused,
+        shuffle_block=1024 if fused else 128,
+    )
     train_cfg = TrainConfig(
         num_envs=num_envs, rollout_steps=rollout_steps, network_size=128
     )
@@ -132,11 +141,19 @@ def bench_landing(platform: str) -> list[dict]:
     )
     ctrl_params = load_params(fixture, tmpl)
 
+    # bf16 conv compute + bf16-stored rollout images: +7% decisions/s with
+    # benchmark-identical fixture eval and a matching learning curve
+    # (runs/r3/landing_opt.json quality gates); params/loss math stay f32.
+    mixed = platform == "tpu"
     model, tx, state = landing_ppo_init(
-        jax.random.PRNGKey(0), cfgs, ppo_cfg, num_envs, ctrl, ctrl_params
+        jax.random.PRNGKey(0), cfgs, ppo_cfg, num_envs, ctrl, ctrl_params,
+        conv_dtype=jnp.bfloat16 if mixed else jnp.float32,
     )
     step = jax.jit(
-        make_landing_train_step(model, tx, cfgs, ppo_cfg, ctrl, ctrl_params, rollout)
+        make_landing_train_step(
+            model, tx, cfgs, ppo_cfg, ctrl, ctrl_params, rollout,
+            image_dtype=jnp.bfloat16 if mixed else None,
+        )
     )
     compiled = step.lower(state).compile()
     state, m = step(state)

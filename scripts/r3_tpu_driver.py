@@ -305,6 +305,128 @@ def fused_bench():
     return res
 
 
+# ------------------------------------------------------------ stage 2b
+def classical_final():
+    """Re-score the five-leg classical comparison with the polished RL
+    checkpoint (VERDICT r2 missing #4: close the RL leg to the reference's
+    100%)."""
+    from autonomous_quadrotor_environment_tpu.apps import classical_compare
+
+    results = classical_compare.main([
+        "--policy", "runs/polish_r3/solved/nn_solved_128_0.msgpack",
+        "--out", "runs/classical_r3",
+    ])
+    with open("runs/classical_r3/summary.json", "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+# ------------------------------------------------------------ stage 1b
+def landing_opt():
+    """Attack the landing update's measured bottlenecks (runs/r3/
+    landing_profile.json + docs/profile/landing): the device step is 133 ms
+    = 112 ms update (51 ms conv grads at ~50% f32 MFU + ~42 ms minibatch
+    block gather at ~31 GB/s) + ~20 ms rollout. Variants: bigger shuffle
+    blocks (fewer, larger DMAs), bf16 conv compute (MXU ceiling 2x), bf16
+    image storage (halves the gather stream). Also: fixture eval under bf16
+    + a short same-seed learning run as quality gates."""
+    import dataclasses
+
+    from autonomous_quadrotor_environment_tpu.apps.train_landing import load_controller
+    from autonomous_quadrotor_environment_tpu.config import PPOConfig
+    from autonomous_quadrotor_environment_tpu.landing.env import LandingConfigs
+    from autonomous_quadrotor_environment_tpu.landing.ppo import (
+        landing_ppo_init,
+        make_landing_train_step,
+    )
+
+    B, T = 128, 24
+    ctrl_model, ctrl_params = load_controller(FIXTURE_CTRL, 128)
+    cfgs = LandingConfigs.default(training=True)
+    base_cfg = PPOConfig.landing_variant()
+    variants = {
+        "base": dict(cfg=base_cfg, conv=jnp.float32, img=None),
+        "blocks768": dict(
+            cfg=dataclasses.replace(base_cfg, shuffle_block=768),
+            conv=jnp.float32, img=None,
+        ),
+        "bf16": dict(
+            cfg=dataclasses.replace(base_cfg, shuffle_block=768),
+            conv=jnp.bfloat16, img=None,
+        ),
+        "bf16img": dict(
+            cfg=dataclasses.replace(base_cfg, shuffle_block=768),
+            conv=jnp.bfloat16, img=jnp.bfloat16,
+        ),
+    }
+    res = {}
+    os.makedirs("runs/r3", exist_ok=True)
+    for name, v in variants.items():
+        model, tx, state = landing_ppo_init(
+            jax.random.PRNGKey(0), cfgs, v["cfg"], B, ctrl_model, ctrl_params,
+            conv_dtype=v["conv"],
+        )
+        step = jax.jit(make_landing_train_step(
+            model, tx, cfgs, v["cfg"], ctrl_model, ctrl_params, T,
+            image_dtype=v["img"],
+        ))
+        state, m = step(state)
+        float(m["loss"])
+        t0 = time.time()
+        for _ in range(5):
+            state, m = step(state)
+            loss = float(m["loss"])
+        dt = (time.time() - t0) / 5
+        res[name] = {
+            "ms_per_update": round(dt * 1e3, 1),
+            "decisions_per_s": round(B * T / dt, 0),
+            "loss_after_6": loss,
+        }
+        print(json.dumps({name: res[name]}), flush=True)
+
+    # Quality gate 1: the official 100-episode fixture benchmark with bf16
+    # conv compute — inference-parity evidence for the bf16 trunks.
+    try:
+        from autonomous_quadrotor_environment_tpu.apps import eval_landing
+
+        out = eval_landing.main([
+            "--controller", FIXTURE_CTRL,
+            "--policy",
+            "autonomous_quadrotor_environment_tpu/fixtures/landing_policy.msgpack",
+            "--episodes", "100", "--seed", "0", "--conv-dtype", "bfloat16",
+        ])
+        res["bf16_fixture_eval"] = out
+    except SystemExit:
+        res["bf16_fixture_eval"] = "eval_landing lacks --conv-dtype; skipped"
+    except Exception as e:
+        res["bf16_fixture_eval"] = f"error: {e}"
+    print(json.dumps({"bf16_fixture_eval": res.get("bf16_fixture_eval")}), flush=True)
+
+    # Quality gate 2: 80-update same-seed learning runs, f32 vs winner.
+    def short_train(cfg, conv, img):
+        model, tx, state = landing_ppo_init(
+            jax.random.PRNGKey(7), cfgs, cfg, B, ctrl_model, ctrl_params,
+            conv_dtype=conv,
+        )
+        step = jax.jit(make_landing_train_step(
+            model, tx, cfgs, cfg, ctrl_model, ctrl_params, T, image_dtype=img,
+        ))
+        rewards = []
+        for i in range(80):
+            state, m = step(state)
+            if (i + 1) % 10 == 0:
+                rewards.append(round(float(m["reward_per_decision"]), 4))
+        return rewards
+    res["learn_f32"] = short_train(base_cfg, jnp.float32, None)
+    res["learn_bf16img"] = short_train(
+        dataclasses.replace(base_cfg, shuffle_block=768), jnp.bfloat16, jnp.bfloat16
+    )
+    with open("runs/r3/landing_opt.json", "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res), flush=True)
+    return res
+
+
 # ---------------------------------------------------------------- stage 5
 def lr_sweep_stage():
     from autonomous_quadrotor_environment_tpu.apps import lr_sweep
@@ -351,10 +473,12 @@ if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     stage("profile_landing", "runs/r3/landing_profile.json", profile_landing)
     stage("polish", None, polish)
+    stage("classical_final", "runs/classical_r3/summary.json", classical_final)
     stage("vel_train", "runs/vel_control/nn_final_128_0.msgpack", vel_train)
     stage("robust4k", "runs/ctrl_robust_r4/eval.json", robust4k)
     stage("robust_mix", "runs/ctrl_robust_r5/eval.json", robust_mix)
     stage("fused_bench", "runs/r3/fused_bench.json", fused_bench)
+    stage("landing_opt", "runs/r3/landing_opt.json", landing_opt)
     stage("lr_sweep", "runs/lr_sweep/summary.json", lr_sweep_stage)
     stage("step_response", "runs/vel_control/step_response.json", step_response_stage)
     stage("vel_seed_study", "runs/seed_study_vel/summary.json", vel_seed_study)
