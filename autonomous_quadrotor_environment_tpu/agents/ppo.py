@@ -321,6 +321,7 @@ def ppo_update(
                     clip_eps=cfg.clip_eps, entropy_coef=cfg.entropy_coef,
                     # Mosaic compiles only on TPU; the CPU suite interprets.
                     interpret=jax.default_backend() != "tpu",
+                    compute_dtype=cfg.fused_compute,
                 )
             else:
                 if full_batch:

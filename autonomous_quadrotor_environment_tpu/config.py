@@ -273,6 +273,14 @@ class PPOConfig:
     # False); ppo_update silently falls back to the XLA path when the batch
     # shape or model doesn't qualify.
     fused_update: bool = False
+    # Matmul operand dtype inside the fused kernel ("f32" or "bf16").
+    # Measured on-chip (runs/r3/bf16_probe.json): bf16 operands change
+    # NOTHING (37.9 vs 37.6 ms/update) — the kernel is VPU-bound on
+    # tanh/elementwise, not MXU-bound — so f32 (bit-identical to the XLA
+    # path's math) stays the default. The bf16 path is kept, tested
+    # (tests/test_ops.py) and quality-gated (same-seed 400-update training
+    # curve matches) for models where the dots DO dominate.
+    fused_compute: str = "f32"
 
     @staticmethod
     def landing_variant() -> "PPOConfig":

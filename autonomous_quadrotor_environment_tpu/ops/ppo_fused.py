@@ -76,22 +76,35 @@ def unflatten_grads(flat, params):
     return tree
 
 
-def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+def _make_dots(compute_dtype):
+    """MXU dot helpers with f32 accumulation and ``compute_dtype`` operands.
 
+    bf16 operands run the MXU at its native single-pass rate — ~4x the
+    implicit-f32 rate Mosaic uses for f32 operands, which the round-3
+    device trace measured as the kernel's actual bound (0.744 ms/call ~=
+    50 TFLOP/s = the v5e f32 rate). Accumulation stays f32 either way;
+    the elementwise math (tanh, ratios, clip logic) is always f32.
+    """
+    cd = compute_dtype
 
-def _dotT(a, b):
-    """a^T @ b via contraction on rows: (T,H1)x(T,H2) -> (H1,H2)."""
-    return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    def dot(a, b):
+        return jnp.dot(a.astype(cd), b.astype(cd), preferred_element_type=jnp.float32)
 
+    def dotT(a, b):
+        """a^T @ b via contraction on rows: (T,H1)x(T,H2) -> (H1,H2)."""
+        return jax.lax.dot_general(
+            a.astype(cd), b.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-def _dot_bT(a, w):
-    """a @ w^T via contraction on columns: (T,H2)x(H1,H2) -> (T,H1)."""
-    return jax.lax.dot_general(
-        a, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    def dot_bT(a, w):
+        """a @ w^T via contraction on columns: (T,H2)x(H1,H2) -> (T,H1)."""
+        return jax.lax.dot_general(
+            a.astype(cd), w.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot, dotT, dot_bT
 
 
 def _kernel(
@@ -104,7 +117,9 @@ def _kernel(
     gv1_ref, gc1b_ref, gv2_ref, gc2b_ref, gv3_ref, gc3b_ref,
     sums_ref, rmax_ref,
     *, inv_std: float, log_std: float, clip_eps: float, inv_n: float,
+    compute_dtype=jnp.float32,
 ):
+    _dot, _dotT, _dot_bT = _make_dots(compute_dtype)
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -183,7 +198,10 @@ def _kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("tile", "action_std", "clip_eps", "entropy_coef", "interpret"),
+    static_argnames=(
+        "tile", "action_std", "clip_eps", "entropy_coef", "interpret",
+        "compute_dtype",
+    ),
 )
 def fused_ppo_grad(
     params,
@@ -196,11 +214,19 @@ def fused_ppo_grad(
     clip_eps: float,
     entropy_coef: float,
     interpret: bool = False,
+    compute_dtype: str = "f32",
 ):
     """Loss, metrics and parameter gradients of `agents.ppo.ppo_loss` over
     the minibatch formed by row blocks ``perm`` (block = ``tile`` rows).
     Returns ``(loss, metrics, grads)`` with the same pytree/metric structure
-    as the XLA path."""
+    as the XLA path.
+
+    ``compute_dtype="bf16"`` casts matmul operands to bfloat16 (f32
+    accumulation, elementwise math f32) — the mixed-precision MXU path,
+    ~4x the dot throughput of f32 operands; gradients carry ~1e-2 relative
+    bf16 rounding vs the f32 kernel (quality-gated in tests and the
+    committed same-seed training comparison, runs/r3/).
+    """
     n, obs_dim = obs.shape
     assert n % tile == 0, (n, tile)
     assert aux.shape == (n, 8), aux.shape
@@ -241,6 +267,7 @@ def fused_ppo_grad(
         log_std=log_std,
         clip_eps=clip_eps,
         inv_n=1.0 / mb,
+        compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32,
     )
     flops_tile = 2 * tile * (2 * obs_dim * hidden + 2 * hidden * hidden + 5 * hidden) * 3
     out = pl.pallas_call(

@@ -70,19 +70,21 @@ def bench_controller(platform: str) -> dict:
 
     # Reference-equivalent training shape: 1000-step episodes, K=10 epochs,
     # N=128 network, ~5k steps per update scaled up to fill the chip.
-    # 2048x256 with 128k block-shuffled minibatches is the measured optimum
-    # (4.38M steps/s, 119.8 ms/update — see docs/PERF.md).
+    # 8192x256 with K=10 over quarter-batch minibatches is the measured
+    # round-3 optimum (amortized-fence sweep, runs/r3/bf16_probe.json;
+    # 16384 envs adds only +3%).
     if platform == "tpu":
-        num_envs, rollout_steps, minibatch = 2048, 256, 131072
+        num_envs, rollout_steps = 8192, 256
     else:
-        num_envs, rollout_steps, minibatch = 256, 64, 0
+        num_envs, rollout_steps = 256, 64
+    minibatch = num_envs * rollout_steps // 4 if platform == "tpu" else 0
 
     env_cfg = EnvConfig(n_steps=1000)
     # fused_update: the Pallas one-HBM-pass gradient kernel (ops/ppo_fused.py).
-    # At its best tile (shuffle_block=1024 -> 128-row-block grid of 1024-row
-    # tiles) the isolated K=10 update drops 87.5 -> ~62 ms vs the XLA path at
-    # its own best block (docs/PERF.md round-3 section); equivalence is pinned
-    # in tests/test_ops.py. The XLA fallback prefers block=128.
+    # At its best tile (shuffle_block=1024) the K=10 update runs 37.6 ms vs
+    # 61.0 ms for the XLA path (both amortized-fence, 2048x256 rows —
+    # docs/PERF.md round-3 section); equivalence is pinned in
+    # tests/test_ops.py. The XLA fallback prefers block=128.
     fused = platform == "tpu"
     ppo_cfg = PPOConfig(
         k_epochs=10, minibatch_size=minibatch, fused_update=fused,
@@ -95,18 +97,24 @@ def bench_controller(platform: str) -> dict:
     train_step = jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
     compiled = train_step.lower(state).compile()
 
-    # Warmup/compile. NOTE: timing fences on a host VALUE fetch each
-    # iteration — over the remote-TPU (axon) tunnel, block_until_ready can
-    # return before remote execution finishes, so only fetched scalars are a
-    # trustworthy fence.
+    # Warmup/compile, fenced on a host VALUE fetch (over the remote-TPU
+    # (axon) tunnel, block_until_ready can return before remote execution
+    # finishes; only fetched scalars are a trustworthy fence).
     state, metrics = train_step(state)
     float(metrics["loss"])
 
-    n_iters = 5 if platform == "tpu" else 3
+    # AMORTIZED fence: dispatch n_iters sequential steps, fetch only the
+    # LAST loss. Each step's input is the previous step's output state, so
+    # the final scalar transitively forces the entire chain — a true fence
+    # — while the ~34 ms tunnel RTT (measured, runs/r3/bf16_probe.json) is
+    # paid once instead of per step. A real training loop behaves the same
+    # way: JAX async dispatch runs ahead while the logger fetches stale
+    # metrics.
+    n_iters = 10 if platform == "tpu" else 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, metrics = train_step(state)
-        float(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
     steps_per_s = n_iters * num_envs * rollout_steps / dt
     return {
@@ -158,11 +166,12 @@ def bench_landing(platform: str) -> list[dict]:
     compiled = step.lower(state).compile()
     state, m = step(state)
     float(m["loss"])
-    n_iters = 3
+    # Amortized fence (see bench_controller): chain the steps, fetch last.
+    n_iters = 5 if platform == "tpu" else 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, m = step(state)
-        float(m["loss"])
+    float(m["loss"])
     dt = time.perf_counter() - t0
     dps = n_iters * num_envs * rollout / dt
     return [

@@ -90,6 +90,23 @@ def test_fused_ppo_grad_matches_xla():
         err_pal = np.max(np.abs(np.asarray(gg, np.float64) - np.asarray(gt)))
         assert err_pal <= 3.0 * err_xla + 1e-6, (gw.shape, err_pal, err_xla)
 
+    # Mixed-precision variant (compute_dtype="bf16", the TPU default via
+    # PPOConfig.fused_compute): loss/metrics and gradient DIRECTION must
+    # track the f32 truth within bf16 rounding (~1e-2 relative), since only
+    # the matmul operands are cast — accumulation and elementwise stay f32.
+    loss16, metrics16, grads16 = fused_ppo_grad(
+        params, obs, aux, perm.astype(jnp.int32),
+        tile=tile, action_std=cfg.action_std, clip_eps=cfg.clip_eps,
+        entropy_coef=cfg.entropy_coef, interpret=True, compute_dtype="bf16",
+    )
+    np.testing.assert_allclose(float(loss16), float(want_loss), rtol=2e-2)
+    for gg, gt in zip(jax.tree.leaves(grads16), jax.tree.leaves(true_grads)):
+        a, b = np.asarray(gg, np.float64).ravel(), np.asarray(gt).ravel()
+        scale = np.max(np.abs(b)) + 1e-8
+        # 5e-2: three chained bf16 matmuls + the (value - return) critic
+        # cancellation compound to ~3% worst-case on this fixture.
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-2)
+
 
 def test_fused_update_integration_matches_xla():
     """PPOConfig.fused_update swaps the minibatch gradient into the Pallas
@@ -129,14 +146,18 @@ def test_fused_update_integration_matches_xla():
     upd_key = ks[5]
 
     outs = {}
-    for fused in (False, True):
-        c = dataclasses.replace(cfg, fused_update=fused)
-        outs[fused] = ppo_update(
+    for name, kw in (
+        ("xla", dict(fused_update=False)),
+        ("fused_f32", dict(fused_update=True, fused_compute="f32")),
+        ("fused_bf16", dict(fused_update=True, fused_compute="bf16")),
+    ):
+        c = dataclasses.replace(cfg, **kw)
+        outs[name] = ppo_update(
             model, tx, params, tx.init(params), roll, bootstrap, upd_key, c
         )
 
-    p_x, _, m_x = outs[False]
-    p_f, _, m_f = outs[True]
+    p_x, _, m_x = outs["xla"]
+    p_f, _, m_f = outs["fused_f32"]
     for k in ("loss", "actor_loss", "critic_loss", "entropy", "ratio_max"):
         np.testing.assert_allclose(
             float(m_f[k]), float(m_x[k]), rtol=5e-4, err_msg=k
@@ -146,6 +167,16 @@ def test_fused_update_integration_matches_xla():
     for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=cfg.lr * 0.05, rtol=0
+        )
+    # bf16 operands (the PPOConfig.fused_compute default): Adam normalizes
+    # step magnitude to ~lr, and bf16 grad rounding can flip the direction
+    # of near-zero gradients, so after K*n_mb=9 steps the two walks may
+    # differ by a few steps on tiny-grad params — bound the drift at 5 lr.
+    p_b, _, m_b = outs["fused_bf16"]
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_x["loss"]), rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(p_b), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=cfg.lr * 5.0, rtol=0
         )
 
 
