@@ -297,10 +297,26 @@ def ppo_update(
         and n % max(block, 1) == 0
     )
     if use_fused:
-        from ..ops.ppo_fused import fused_ppo_grad, pack_aux
+        from ..ops.ppo_fused import fused_ppo_grad, fused_ppo_grad_adam, pack_aux
 
         fused_tile = block if block > 1 else min(n, 512)
         use_fused = n % fused_tile == 0 and mb % fused_tile == 0
+    # Fuse the optax.adam step into the kernel's last grid step
+    # (ops/ppo_fused.py:fused_ppo_grad_adam): the Adam update between
+    # kernel calls otherwise lowers to ~100 tiny XLA ops per minibatch,
+    # measured at ~20% of the whole update (docs/PERF.md round-3 probes).
+    # Requires plain Adam (no grad clipping), a constant lr, no cross-device
+    # grad reduction (dp pmean needs the raw grads), and the standard optax
+    # (ScaleByAdamState, ...) state tuple.
+    use_fused_adam = (
+        use_fused
+        and cfg.fused_adam
+        and grad_reduce is None
+        and cfg.max_grad_norm == 0
+        and isinstance(opt_state, tuple)
+        and len(opt_state) >= 1
+        and all(hasattr(opt_state[0], f) for f in ("count", "mu", "nu"))
+    )
     if use_fused:
         aux = pack_aux(actions, old_lp, rets, advs)
 
@@ -310,6 +326,24 @@ def ppo_update(
 
         def minibatch(carry, idx):
             params, opt_state = carry
+            if use_fused_adam:
+                if full_batch:
+                    blocks = jnp.arange(n // fused_tile, dtype=jnp.int32)
+                else:
+                    blocks = idx.astype(jnp.int32)
+                s0 = opt_state[0]
+                loss, metrics, params, mu2, nu2, cnt = fused_ppo_grad_adam(
+                    params, s0.mu, s0.nu, s0.count, obs, aux, blocks,
+                    tile=fused_tile, action_std=cfg.action_std,
+                    clip_eps=cfg.clip_eps, entropy_coef=cfg.entropy_coef,
+                    lr=cfg.lr, adam_b1=cfg.adam_b1, adam_b2=cfg.adam_b2,
+                    interpret=jax.default_backend() != "tpu",
+                    compute_dtype=cfg.fused_compute,
+                )
+                opt_state = (s0._replace(count=cnt, mu=mu2, nu=nu2),) + tuple(
+                    opt_state[1:]
+                )
+                return (params, opt_state), (loss, metrics)
             if use_fused:
                 if full_batch:
                     blocks = jnp.arange(n // fused_tile, dtype=jnp.int32)

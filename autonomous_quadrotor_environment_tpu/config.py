@@ -281,6 +281,16 @@ class PPOConfig:
     # (tests/test_ops.py) and quality-gated (same-seed 400-update training
     # curve matches) for models where the dots DO dominate.
     fused_compute: str = "f32"
+    # Apply the optax.adam step inside the fused kernel's last grid step
+    # (one pallas_call per COMPLETE minibatch gradient step; exact optax
+    # semantics, pinned in tests/test_ops.py). Measured on-chip
+    # (runs/r3/adam_probe.json): 40.0 vs 37.5 ms/update — the separate
+    # optax step already overlaps into the kernel pipeline, and the fused
+    # variant's 3x-larger I/O spec costs slightly more, so OFF by default;
+    # kept as a tested capability (useful where dispatch overhead is real,
+    # e.g. many tiny minibatches). Ignored under grad clipping, non-adam
+    # optimizers, or the dp grad-reduction path.
+    fused_adam: bool = False
 
     @staticmethod
     def landing_variant() -> "PPOConfig":

@@ -44,6 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
+# Activation used inside the kernel. Module-level indirection so perf
+# probes (scripts/r3_tanh_probe.py) can substitute cheaper approximations
+# and measure the VPU-transcendental share of the kernel's runtime.
+_tanh = jnp.tanh
+
 # Fixed order of the 12 ActorCritic leaves (flax param tree
 # params['params'][{actor,critic}][Dense_{0,1,2}][{kernel,bias}]).
 _LEAVES = [
@@ -107,18 +112,18 @@ def _make_dots(compute_dtype):
     return dot, dotT, dot_bT
 
 
-def _kernel(
-    perm_ref,  # scalar prefetch (n_blocks,) int32
+def _body(
     obs_ref, aux_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     v1_ref, c1b_ref, v2_ref, c2b_ref, v3_ref, c3b_ref,
-    # outputs: 12 grads + sums (1, 128) [loss, actor, critic] + max (1, 128)
     gw1_ref, gb1_ref, gw2_ref, gb2_ref, gw3_ref, gb3_ref,
     gv1_ref, gc1b_ref, gv2_ref, gc2b_ref, gv3_ref, gc3b_ref,
     sums_ref, rmax_ref,
     *, inv_std: float, log_std: float, clip_eps: float, inv_n: float,
     compute_dtype=jnp.float32,
 ):
+    """One tile's forward+backward, accumulating into the g*/sums/rmax
+    refs (which may be outputs or scratch — see the two wrappers)."""
     _dot, _dotT, _dot_bT = _make_dots(compute_dtype)
     i = pl.program_id(0)
 
@@ -137,12 +142,12 @@ def _kernel(
     adv = aux[:, 6:7]
 
     # ---- forward (activations never leave VMEM)
-    a1 = jnp.tanh(_dot(x, w1_ref[:]) + b1_ref[:])
-    a2 = jnp.tanh(_dot(a1, w2_ref[:]) + b2_ref[:])
-    mean = jnp.tanh(_dot(a2, w3_ref[:]) + b3_ref[:])   # (T, 4)
+    a1 = _tanh(_dot(x, w1_ref[:]) + b1_ref[:])
+    a2 = _tanh(_dot(a1, w2_ref[:]) + b2_ref[:])
+    mean = _tanh(_dot(a2, w3_ref[:]) + b3_ref[:])   # (T, 4)
 
-    c1 = jnp.tanh(_dot(x, v1_ref[:]) + c1b_ref[:])
-    c2 = jnp.tanh(_dot(c1, v2_ref[:]) + c2b_ref[:])
+    c1 = _tanh(_dot(x, v1_ref[:]) + c1b_ref[:])
+    c2 = _tanh(_dot(c1, v2_ref[:]) + c2b_ref[:])
     val = _dot(c2, v3_ref[:]) + c3b_ref[:]             # (T, 1)
 
     z = (act - mean) * inv_std
@@ -194,6 +199,59 @@ def _kernel(
     )
     sums_ref[:] += contrib
     rmax_ref[:] = jnp.maximum(rmax_ref[:], jnp.full((1, 128), jnp.max(ratio)))
+
+
+def _kernel(perm_ref, *refs, **kw):
+    """Grad-only kernel: refs = 2 data inputs, 12 param inputs, then the
+    12 grad outputs + sums + rmax."""
+    _body(*refs, **kw)
+
+
+def _kernel_adam(
+    perm_ref, *refs,
+    b1: float, b2: float, eps: float, **kw,
+):
+    """Grad + fused-Adam kernel (optax.adam semantics, applied at the LAST
+    grid step so the whole minibatch gradient step — including the
+    optimizer — is one pallas_call).
+
+    refs layout:
+      inputs  [0:2]   obs, aux
+              [2:14]  12 param leaves
+              [14]    scalars (1, 128) f32: lane0 lr, lane1 1/(1-b1^t),
+                      lane2 1/(1-b2^t) for the incremented count t
+              [15:27] 12 Adam mu leaves
+              [27:39] 12 Adam nu leaves
+      outputs [39:51] 12 new param leaves
+              [51:63] 12 new mu leaves
+              [63:75] 12 new nu leaves
+              [75]    sums, [76] rmax
+      scratch [77:89] 12 grad accumulators (VMEM)
+    """
+    p_in = refs[2:14]
+    scal_ref = refs[14]
+    mu_in, nu_in = refs[15:27], refs[27:39]
+    newp, newmu, newnu = refs[39:51], refs[51:63], refs[63:75]
+    sums_ref, rmax_ref = refs[75], refs[76]
+    gacc = refs[77:89]
+
+    _body(refs[0], refs[1], *p_in, *gacc, sums_ref, rmax_ref, **kw)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _apply_adam():
+        scal = scal_ref[:]
+        lr = scal[0, 0]
+        bc1inv = scal[0, 1]
+        bc2inv = scal[0, 2]
+        for k in range(12):
+            g = gacc[k][:]
+            mu = b1 * mu_in[k][:] + (1.0 - b1) * g
+            nu = b2 * nu_in[k][:] + (1.0 - b2) * g * g
+            newmu[k][:] = mu
+            newnu[k][:] = nu
+            newp[k][:] = p_in[k][:] - lr * (mu * bc1inv) / (
+                jnp.sqrt(nu * bc2inv) + eps
+            )
 
 
 @partial(
@@ -297,6 +355,133 @@ def fused_ppo_grad(
         "ratio_max": rmax[0, 0],
     }
     return loss, metrics, unflatten_grads(grads, params)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tile", "action_std", "clip_eps", "entropy_coef", "interpret",
+        "compute_dtype", "lr", "adam_b1", "adam_b2", "adam_eps",
+    ),
+)
+def fused_ppo_grad_adam(
+    params,
+    mu,
+    nu,
+    count: jnp.ndarray,      # () int32 — optax ScaleByAdamState.count
+    obs: jnp.ndarray,
+    aux: jnp.ndarray,
+    perm: jnp.ndarray,
+    *,
+    tile: int,
+    action_std: float,
+    clip_eps: float,
+    entropy_coef: float,
+    lr: float,
+    adam_b1: float,
+    adam_b2: float,
+    adam_eps: float = 1e-8,
+    interpret: bool = False,
+    compute_dtype: str = "f32",
+):
+    """One COMPLETE minibatch gradient step — loss, metrics, gradients AND
+    the optax.adam parameter update — in a single pallas_call.
+
+    Motivation (docs/PERF.md round-3 probes): the grad-only kernel runs
+    0.74-0.92 ms/call but the full fused update measured ~8 ms/update more
+    than 40x that — the optax Adam step between kernel calls lowers to
+    ~100 tiny XLA ops per minibatch. Here Adam (exact `optax.adam`
+    semantics: biased first/second moments, bias correction by incremented
+    count, eps outside the sqrt) runs at the kernel's LAST grid step on the
+    VMEM-resident gradient accumulators, so params/mu/nu round-trip HBM
+    once per minibatch step (~324 KB) and no separate XLA ops remain.
+
+    Returns ``(loss, metrics, new_params, new_mu, new_nu, new_count)``.
+    Gradients are consumed in-kernel (use `fused_ppo_grad` when raw grads
+    are needed, e.g. for the dp pmean path).
+    """
+    n, obs_dim = obs.shape
+    assert n % tile == 0, (n, tile)
+    assert aux.shape == (n, 8), aux.shape
+    n_blocks = perm.shape[0]
+    mb = n_blocks * tile
+    leaves = flatten_params(params)
+    mu_leaves = flatten_params(mu)
+    nu_leaves = flatten_params(nu)
+    hidden = leaves[0].shape[1]
+    log_std = math.log(action_std)
+
+    # lane0 lr, lane1 1/(1-b1^t), lane2 1/(1-b2^t) with t = count+1 —
+    # matches optax.scale_by_adam's bias correction exactly.
+    t = (count + 1).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    scalars = (
+        jnp.where(lane == 0, jnp.float32(lr), 0.0)
+        + jnp.where(lane == 1, 1.0 / (1.0 - adam_b1 ** t), 0.0)
+        + jnp.where(lane == 2, 1.0 / (1.0 - adam_b2 ** t), 0.0)
+    )
+
+    const = lambda l: pl.BlockSpec(
+        l.shape, lambda i, perm: (0, 0), memory_space=pltpu.VMEM
+    )
+    stat = pl.BlockSpec((1, 128), lambda i, perm: (0, 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((tile, obs_dim), lambda i, perm: (perm[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda i, perm: (perm[i], 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [const(l) for l in leaves]
+        + [stat]
+        + [const(l) for l in mu_leaves]
+        + [const(l) for l in nu_leaves],
+        out_specs=[const(l) for l in leaves] * 3 + [stat, stat],
+        scratch_shapes=[pltpu.VMEM(l.shape, jnp.float32) for l in leaves],
+    )
+    kernel = partial(
+        _kernel_adam,
+        b1=adam_b1, b2=adam_b2, eps=adam_eps,
+        inv_std=1.0 / action_std, log_std=log_std, clip_eps=clip_eps,
+        inv_n=1.0 / mb,
+        compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32,
+    )
+    flops_tile = 2 * tile * (2 * obs_dim * hidden + 2 * hidden * hidden + 5 * hidden) * 3
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(l.shape, jnp.float32) for l in leaves] * 3
+        + [
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * n_blocks,
+            bytes_accessed=(tile * (obs_dim + 8) * 4) * n_blocks,
+            transcendentals=6 * tile * hidden * n_blocks,
+        ),
+        interpret=interpret,
+    )(perm, obs, aux, *leaves, scalars, *mu_leaves, *nu_leaves)
+    newp, newmu, newnu = out[0:12], out[12:24], out[24:36]
+    sums, rmax = out[36], out[37]
+
+    entropy = 4.0 * (0.5 + 0.5 * _LOG_2PI + log_std)
+    loss = sums[0, 0] / mb - entropy_coef * entropy
+    metrics = {
+        "actor_loss": sums[0, 1] / mb,
+        "critic_loss": sums[0, 2] / mb,
+        "entropy": jnp.asarray(entropy, jnp.float32),
+        "ratio_max": rmax[0, 0],
+    }
+    return (
+        loss, metrics,
+        unflatten_grads(newp, params),
+        unflatten_grads(newmu, mu),
+        unflatten_grads(newnu, nu),
+        count + 1,
+    )
 
 
 def pack_aux(actions, old_logprobs, returns, advantages) -> jnp.ndarray:

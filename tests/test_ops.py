@@ -150,24 +150,36 @@ def test_fused_update_integration_matches_xla():
         ("xla", dict(fused_update=False)),
         ("fused_f32", dict(fused_update=True, fused_compute="f32")),
         ("fused_bf16", dict(fused_update=True, fused_compute="bf16")),
+        # In-kernel optax.adam (fused_ppo_grad_adam): must track the XLA
+        # path as tightly as the plain fused kernel does.
+        ("fused_adam", dict(fused_update=True, fused_adam=True)),
     ):
         c = dataclasses.replace(cfg, **kw)
         outs[name] = ppo_update(
             model, tx, params, tx.init(params), roll, bootstrap, upd_key, c
         )
 
-    p_x, _, m_x = outs["xla"]
-    p_f, _, m_f = outs["fused_f32"]
-    for k in ("loss", "actor_loss", "critic_loss", "entropy", "ratio_max"):
-        np.testing.assert_allclose(
-            float(m_f[k]), float(m_x[k]), rtol=5e-4, err_msg=k
-        )
-    # Adam divides by sqrt(second moment), amplifying f32 grad noise where
-    # gradients are tiny — compare the updated params at step scale (lr).
-    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=cfg.lr * 0.05, rtol=0
-        )
+    p_x, opt_x, m_x = outs["xla"]
+    for variant in ("fused_f32", "fused_adam"):
+        p_f, opt_f, m_f = outs[variant]
+        for k in ("loss", "actor_loss", "critic_loss", "entropy", "ratio_max"):
+            np.testing.assert_allclose(
+                float(m_f[k]), float(m_x[k]), rtol=5e-4, err_msg=f"{variant}:{k}"
+            )
+        # Adam divides by sqrt(second moment), amplifying f32 grad noise
+        # where gradients are tiny — compare updated params at step scale.
+        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=cfg.lr * 0.05, rtol=0,
+                err_msg=variant,
+            )
+    # The in-kernel Adam must also reproduce optax's OPTIMIZER state.
+    assert int(outs["fused_adam"][1][0].count) == int(opt_x[0].count)
+    for a, b in zip(
+        jax.tree.leaves(outs["fused_adam"][1][0].mu),
+        jax.tree.leaves(opt_x[0].mu),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=0)
     # bf16 operands (the PPOConfig.fused_compute default): Adam normalizes
     # step magnitude to ~lr, and bf16 grad rounding can flip the direction
     # of near-zero gradients, so after K*n_mb=9 steps the two walks may
