@@ -1,4 +1,4 @@
-"""Generalized Advantage Estimation as a reverse `lax.scan`.
+"""Generalized Advantage Estimation as a parallel prefix (associative) scan.
 
 Matches the reference's `get_advantages` semantics
 (reference: environment/controller/ppo.py:125-141 and
@@ -15,6 +15,16 @@ terminal step (mask 0 kills the bootstrap); the batched TPU rollout truncates
 episodes at the scan boundary, so the caller passes ``v(s_T)`` instead.
 The reference's unreachable ``i == len(rewards)`` branch (ppo.py:132-133)
 is dead code and intentionally not replicated.
+
+The recurrence ``gae_i = delta_i + (gamma*lam*mask_i) * gae_{i+1}`` is a
+first-order linear (affine) recurrence, so instead of a sequential
+reverse `lax.scan` — which at T=256 lowers to 256 dependent micro-kernels
+and was measured LATENCY-bound at 57.3 ms of the 236 ms train step
+(runs/r3/perf_probe.json `update_parts.gae_ms`) — it is evaluated as a
+`lax.associative_scan` over affine maps: composing ``f(x) = a*x + b``
+pairs ``(a1*a2, a2*b1 + b2)`` needs only ceil(log2 T) full-width passes.
+Same math, float-reassociated (differences ~1e-6 relative; the sequential
+reference lives in tests/test_ppo.py::reference_gae).
 """
 
 from __future__ import annotations
@@ -39,19 +49,18 @@ def gae_advantages(
     """
     masks = 1.0 - dones.astype(values.dtype)
     next_values = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
+    delta = rewards.astype(values.dtype) + gamma * next_values * masks - values
+    coef = gamma * lam * masks
 
-    def body(gae, inp):
-        reward, value, next_value, mask = inp
-        delta = reward + gamma * next_value * mask - value
-        gae = delta + gamma * lam * mask * gae
-        return gae, gae
+    # gae_i = delta_i + coef_i * gae_{i+1}: compose the affine maps
+    # x -> a*x + b front-to-back with associative_scan in reverse. Applying
+    # f2 after f1 gives a2*(a1*x + b1) + b2 = (a1*a2)*x + (a2*b1 + b2).
+    def compose(f1, f2):
+        a1, b1 = f1
+        a2, b2 = f2
+        return a1 * a2, a2 * b1 + b2
 
-    _, gaes = jax.lax.scan(
-        body,
-        jnp.zeros_like(bootstrap_value),
-        (rewards.astype(values.dtype), values, next_values, masks),
-        reverse=True,
-    )
+    _, gaes = jax.lax.associative_scan(compose, (coef, delta), reverse=True)
     returns = gaes + values
     advantages = gaes
     if normalize:

@@ -216,6 +216,70 @@ def rollout_batch(
     return env_states, roll, bootstrap
 
 
+def rollout_batch_fused(
+    model: ActorCritic,
+    params,
+    env_states: hover.EnvState,
+    key: jax.Array,
+    env_cfg: EnvConfig,
+    steps: int,
+    pool_size: int = 4,
+    tile: int = 256,
+    t_chunk: int = 16,
+    interpret: bool | None = None,
+) -> tuple[hover.EnvState, Rollout, jnp.ndarray]:
+    """`rollout_batch` semantics via the whole-rollout Pallas kernel
+    (ops/rollout_fused.py): the T-step scan — featurizer, policy forward,
+    sampling, physics, reward, pool auto-reset — runs as ONE pallas_call
+    instead of T sequential XLA micro-kernel rounds (measured 131.9 ms of
+    the 8192x256 train step, runs/r3/perf_probe.json).
+
+    Equivalent to the `reset_pool=pool_size` path of `rollout_batch` up to
+    the RNG stream: action noise and the reset pool are pre-generated from
+    `key` in one shot (same distributions), and the per-env RNG keys —
+    which the no-randomization env consumes only for these two purposes —
+    are re-split after the kernel. Eligibility is static:
+    `ops.rollout_fused.supports` (direct control, randomization off,
+    fixed std, 75-dim observations).
+    """
+    from ..ops import rollout_fused as rf
+
+    b = env_states.i.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_noise, k_pool, k_next = jax.random.split(key, 3)
+    noise = jax.random.normal(k_noise, (steps, 4, b))
+    pool_keys = jax.random.split(k_pool, (pool_size, b))
+    pool_states = jax.vmap(jax.vmap(lambda k: hover.reset(k, env_cfg)))(pool_keys)
+    pool = jax.vmap(rf.pack_env_state)(pool_states)
+    s0 = rf.pack_env_state(env_states)
+    wT = rf.transpose_leaves(params)
+    s_fin, obs_t, misc = rf.fused_rollout(
+        s0, noise, pool, wT, env_cfg, model.action_std,
+        tile=tile, t_chunk=t_chunk, interpret=interpret,
+    )
+    new_states = rf.unpack_env_state(s_fin, env_states)
+    # Re-key: the kernel consumes no per-env randomness (noise/pool came
+    # from `key`), so the envs get fresh independent streams for whatever
+    # runs next (matching _where_done's raw-vs-typed key handling).
+    fresh_keys = jax.random.split(k_next, b)
+    if jnp.issubdtype(env_states.key.dtype, jax.dtypes.prng_key):
+        new_states = new_states.replace(key=fresh_keys)
+    else:
+        new_states = new_states.replace(key=jax.random.key_data(fresh_keys))
+    roll = Rollout(
+        obs=jnp.swapaxes(obs_t, 1, 2),
+        actions=jnp.swapaxes(misc[:, 0:4], 1, 2),
+        logprobs=jnp.swapaxes(misc[:, 4:8], 1, 2),
+        values=misc[:, 8],
+        rewards=misc[:, 9],
+        dones=misc[:, 10] > 0.5,
+        solved=misc[:, 11] > 0.5,
+    )
+    _, bootstrap, _ = model.apply(params, new_states.hist)
+    return new_states, roll, bootstrap
+
+
 def ppo_loss(
     model: ActorCritic,
     params,
@@ -409,12 +473,27 @@ def make_train_step(
     """Build the fused rollout+update step (jit it, or shard_map it for
     multi-chip — see parallel/)."""
 
+    from ..ops.rollout_fused import supports as _fused_rollout_supports
+
+    obs_dim = env_cfg.hist_t * 15
+    use_fused_rollout = (
+        train_cfg.fused_rollout
+        and _fused_rollout_supports(env_cfg, ppo_cfg.learn_std, obs_dim)
+        and train_cfg.rollout_steps % min(16, train_cfg.rollout_steps) == 0
+    )
+
     def train_step(state: PPOTrainState) -> tuple[PPOTrainState, dict]:
         key, k_roll, k_upd = jax.random.split(state.key, 3)
-        env_states, roll, bootstrap = rollout_batch(
-            model, state.params, state.env_states, k_roll, env_cfg,
-            train_cfg.rollout_steps, reset_pool=train_cfg.reset_pool,
-        )
+        if use_fused_rollout:
+            env_states, roll, bootstrap = rollout_batch_fused(
+                model, state.params, state.env_states, k_roll, env_cfg,
+                train_cfg.rollout_steps, pool_size=train_cfg.fused_pool,
+            )
+        else:
+            env_states, roll, bootstrap = rollout_batch(
+                model, state.params, state.env_states, k_roll, env_cfg,
+                train_cfg.rollout_steps, reset_pool=train_cfg.reset_pool,
+            )
         params, opt_state, metrics = ppo_update(
             model, tx, state.params, state.opt_state, roll, bootstrap, k_upd,
             ppo_cfg, grad_reduce,

@@ -322,6 +322,16 @@ class TrainConfig:
     # inline resets win (119.8 vs 144.7 ms/update) — default 0 here; the
     # landing trainer (10-frame intervals + render per reset) uses its pool.
     reset_pool: int = 0
+    # Whole-rollout Pallas kernel (ops/rollout_fused.py): the T-step scan
+    # runs as ONE pallas_call with per-step state resident in VMEM, replacing
+    # ~30 XLA micro-kernels per step (the rollout was measured latency/HBM
+    # bound at 131.9 ms of the 8192x256 train step, runs/r3/perf_probe.json).
+    # Applies when ops.rollout_fused.supports() holds (direct control, no
+    # randomization, fixed std); otherwise the XLA scan path runs. Auto-reset
+    # uses a fused_pool-deep fresh-episode pool (same wrap-around semantics
+    # as reset_pool).
+    fused_rollout: bool = False
+    fused_pool: int = 4
 
 
 # ---------------------------------------------------------------------------

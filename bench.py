@@ -90,8 +90,12 @@ def bench_controller(platform: str) -> dict:
         k_epochs=10, minibatch_size=minibatch, fused_update=fused,
         shuffle_block=1024 if fused else 128,
     )
+    # fused_rollout: the whole-rollout Pallas kernel (ops/rollout_fused.py):
+    # 20.6 ms vs 131.9 ms for the 8192x256 XLA scan (runs/r3/rollout_probe
+    # + perf_probe.json) — per-step state stays in VMEM across all 256 steps.
     train_cfg = TrainConfig(
-        num_envs=num_envs, rollout_steps=rollout_steps, network_size=128
+        num_envs=num_envs, rollout_steps=rollout_steps, network_size=128,
+        fused_rollout=fused,
     )
     model, tx, state = ppo_init(jax.random.PRNGKey(0), env_cfg, ppo_cfg, train_cfg)
     train_step = jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
