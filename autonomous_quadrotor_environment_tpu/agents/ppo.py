@@ -224,7 +224,7 @@ def rollout_batch_fused(
     env_cfg: EnvConfig,
     steps: int,
     pool_size: int = 4,
-    tile: int = 256,
+    tile: int = 512,
     t_chunk: int = 16,
     interpret: bool | None = None,
 ) -> tuple[hover.EnvState, Rollout, jnp.ndarray]:

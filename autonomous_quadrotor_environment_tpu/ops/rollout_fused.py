@@ -664,6 +664,8 @@ def fused_rollout(
     """
     steps, _, b = noise.shape
     tile = min(tile, b)
+    if b % tile != 0:
+        tile = math.gcd(b, tile)
     t_chunk = min(t_chunk, steps)
     assert b % tile == 0 and steps % t_chunk == 0, (b, tile, steps, t_chunk)
     obs, misc, s_final = _run_kernel(
