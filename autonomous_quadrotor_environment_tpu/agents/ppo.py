@@ -216,6 +216,52 @@ def rollout_batch(
     return env_states, roll, bootstrap
 
 
+def rollout_batch_fused_raw(
+    model: ActorCritic,
+    params,
+    env_states: hover.EnvState,
+    key: jax.Array,
+    env_cfg: EnvConfig,
+    steps: int,
+    pool_size: int = 4,
+    tile: int = 512,
+    t_chunk: int = 16,
+    interpret: bool | None = None,
+):
+    """`rollout_batch_fused` without materializing the (T, B, ...) Rollout:
+    returns ``(new_env_states, obs_t (T,75,B), misc (T,16,B), bootstrap)``
+    in the rollout kernel's transposed orientation, which the transposed
+    update kernel (ops/ppo_fused_t.py) consumes directly — the fully fused
+    train step never builds the row-major arrays."""
+    from ..ops import rollout_fused as rf
+
+    b = env_states.i.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_noise, k_pool, k_next = jax.random.split(key, 3)
+    noise = jax.random.normal(k_noise, (steps, 4, b))
+    pool_keys = jax.random.split(k_pool, (pool_size, b))
+    pool_states = jax.vmap(jax.vmap(lambda k: hover.reset(k, env_cfg)))(pool_keys)
+    pool = jax.vmap(rf.pack_env_state)(pool_states)
+    s0 = rf.pack_env_state(env_states)
+    wT = rf.transpose_leaves(params)
+    s_fin, obs_t, misc = rf.fused_rollout(
+        s0, noise, pool, wT, env_cfg, model.action_std,
+        tile=tile, t_chunk=t_chunk, interpret=interpret,
+    )
+    new_states = rf.unpack_env_state(s_fin, env_states)
+    # Re-key: the kernel consumes no per-env randomness (noise/pool came
+    # from `key`), so the envs get fresh independent streams for whatever
+    # runs next (matching _where_done's raw-vs-typed key handling).
+    fresh_keys = jax.random.split(k_next, b)
+    if jnp.issubdtype(env_states.key.dtype, jax.dtypes.prng_key):
+        new_states = new_states.replace(key=fresh_keys)
+    else:
+        new_states = new_states.replace(key=jax.random.key_data(fresh_keys))
+    _, bootstrap, _ = model.apply(params, new_states.hist)
+    return new_states, obs_t, misc, bootstrap
+
+
 def rollout_batch_fused(
     model: ActorCritic,
     params,
@@ -242,31 +288,10 @@ def rollout_batch_fused(
     `ops.rollout_fused.supports` (direct control, randomization off,
     fixed std, 75-dim observations).
     """
-    from ..ops import rollout_fused as rf
-
-    b = env_states.i.shape[0]
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    k_noise, k_pool, k_next = jax.random.split(key, 3)
-    noise = jax.random.normal(k_noise, (steps, 4, b))
-    pool_keys = jax.random.split(k_pool, (pool_size, b))
-    pool_states = jax.vmap(jax.vmap(lambda k: hover.reset(k, env_cfg)))(pool_keys)
-    pool = jax.vmap(rf.pack_env_state)(pool_states)
-    s0 = rf.pack_env_state(env_states)
-    wT = rf.transpose_leaves(params)
-    s_fin, obs_t, misc = rf.fused_rollout(
-        s0, noise, pool, wT, env_cfg, model.action_std,
-        tile=tile, t_chunk=t_chunk, interpret=interpret,
+    new_states, obs_t, misc, bootstrap = rollout_batch_fused_raw(
+        model, params, env_states, key, env_cfg, steps,
+        pool_size=pool_size, tile=tile, t_chunk=t_chunk, interpret=interpret,
     )
-    new_states = rf.unpack_env_state(s_fin, env_states)
-    # Re-key: the kernel consumes no per-env randomness (noise/pool came
-    # from `key`), so the envs get fresh independent streams for whatever
-    # runs next (matching _where_done's raw-vs-typed key handling).
-    fresh_keys = jax.random.split(k_next, b)
-    if jnp.issubdtype(env_states.key.dtype, jax.dtypes.prng_key):
-        new_states = new_states.replace(key=fresh_keys)
-    else:
-        new_states = new_states.replace(key=jax.random.key_data(fresh_keys))
     roll = Rollout(
         obs=jnp.swapaxes(obs_t, 1, 2),
         actions=jnp.swapaxes(misc[:, 0:4], 1, 2),
@@ -276,7 +301,6 @@ def rollout_batch_fused(
         dones=misc[:, 10] > 0.5,
         solved=misc[:, 11] > 0.5,
     )
-    _, bootstrap, _ = model.apply(params, new_states.hist)
     return new_states, roll, bootstrap
 
 
@@ -461,6 +485,90 @@ def ppo_update(
     return params, opt_state, metrics
 
 
+def update_t_tile(cfg: PPOConfig, steps: int, b: int) -> int:
+    """Static lane-tile for the transposed update path, 0 if ineligible.
+
+    A block is `tile` envs at one timestep (the same i.i.d. row blocks the
+    shuffle permutes, agents/ppo.ppo_update); tile must divide the env
+    batch and the minibatch row count."""
+    n = steps * b
+    mb = min(cfg.minibatch_size, n) if cfg.minibatch_size > 0 else n
+    tile = cfg.shuffle_block if cfg.shuffle_block > 1 else 512
+    import math as _math
+
+    tile = _math.gcd(tile, b)
+    if tile < 8 or n % tile or mb % tile:
+        return 0
+    return tile
+
+
+def ppo_update_t(
+    tx: optax.GradientTransformation,
+    params,
+    opt_state,
+    obs_t: jnp.ndarray,    # (T, 75, B) — rollout-kernel orientation
+    aux_t: jnp.ndarray,    # (T, 8, B): [action(4), old_lp_sum, ret, adv, 0]
+    key: jax.Array,
+    cfg: PPOConfig,
+    grad_reduce: Callable[[jax.Array], jax.Array] | None = None,
+) -> tuple[dict, optax.OptState, dict]:
+    """K-epoch minibatched PPO update on transposed (features x rows) data
+    via ops/ppo_fused_t.fused_ppo_grad_t — the fully fused train step's
+    update half. Same epoch/minibatch/shuffle semantics as `ppo_update`'s
+    fused path (reference ppo.py:172-209); equality is pinned in
+    tests/test_ops_t.py."""
+    from ..ops.ppo_fused_t import fused_ppo_grad_t
+    from ..ops.rollout_fused import transpose_leaves
+
+    steps, _, b = obs_t.shape
+    n = steps * b
+    mb = min(cfg.minibatch_size, n) if cfg.minibatch_size > 0 else n
+    n_mb = max(n // mb, 1)
+    tile = update_t_tile(cfg, steps, b)
+    assert tile > 0, "caller must gate on update_t_tile"
+    full_batch = n_mb == 1 and mb >= n
+    interpret = jax.default_backend() != "tpu"
+
+    def epoch(carry, epoch_key):
+        params, opt_state = carry
+        perm = jax.random.permutation(epoch_key, n // tile)
+
+        def minibatch(carry, idx):
+            params, opt_state = carry
+            if full_batch:
+                blocks = jnp.arange(n // tile, dtype=jnp.int32)
+            else:
+                blocks = idx.astype(jnp.int32)
+            loss, metrics, grads = fused_ppo_grad_t(
+                params, transpose_leaves(params), obs_t, aux_t, blocks,
+                tile=tile, action_std=cfg.action_std, clip_eps=cfg.clip_eps,
+                entropy_coef=cfg.entropy_coef, interpret=interpret,
+                compute_dtype=cfg.fused_compute,
+            )
+            if grad_reduce is not None:
+                grads = grad_reduce(grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, metrics)
+
+        if full_batch:
+            idxs = jnp.zeros((1, 1), jnp.int32)
+        else:
+            idxs = perm[: n_mb * (mb // tile)].reshape(n_mb, mb // tile)
+        (params, opt_state), (losses, metrics) = jax.lax.scan(
+            minibatch, (params, opt_state), idxs
+        )
+        return (params, opt_state), (jnp.mean(losses), jax.tree.map(jnp.mean, metrics))
+
+    keys = jax.random.split(key, cfg.k_epochs)
+    (params, opt_state), (losses, metrics) = jax.lax.scan(
+        epoch, (params, opt_state), keys
+    )
+    metrics = jax.tree.map(jnp.mean, metrics)
+    metrics["loss"] = jnp.mean(losses)
+    return params, opt_state, metrics
+
+
 def make_train_step(
     model: ActorCritic,
     tx: optax.GradientTransformation,
@@ -481,27 +589,60 @@ def make_train_step(
         and _fused_rollout_supports(env_cfg, ppo_cfg.learn_std, obs_dim)
         and train_cfg.rollout_steps % min(16, train_cfg.rollout_steps) == 0
     )
+    # Fully fused path: rollout kernel -> GAE -> transposed update kernel,
+    # with every batch array staying in the rollout kernel's (features x
+    # rows) orientation — no (T*B, 75) transpose is ever materialized.
+    use_fused_t = (
+        use_fused_rollout
+        and ppo_cfg.fused_update
+        and not ppo_cfg.fused_adam
+        and update_t_tile(ppo_cfg, train_cfg.rollout_steps, train_cfg.num_envs) > 0
+    )
 
     def train_step(state: PPOTrainState) -> tuple[PPOTrainState, dict]:
         key, k_roll, k_upd = jax.random.split(state.key, 3)
-        if use_fused_rollout:
-            env_states, roll, bootstrap = rollout_batch_fused(
+        if use_fused_t:
+            env_states, obs_t, misc, bootstrap = rollout_batch_fused_raw(
                 model, state.params, state.env_states, k_roll, env_cfg,
                 train_cfg.rollout_steps, pool_size=train_cfg.fused_pool,
             )
-        else:
-            env_states, roll, bootstrap = rollout_batch(
-                model, state.params, state.env_states, k_roll, env_cfg,
-                train_cfg.rollout_steps, reset_pool=train_cfg.reset_pool,
+            rewards, dones = misc[:, 9], misc[:, 10] > 0.5
+            solved = misc[:, 11] > 0.5
+            returns, advs = gae_advantages(
+                rewards, misc[:, 8], dones, bootstrap,
+                ppo_cfg.gamma, ppo_cfg.gae_lambda,
             )
-        params, opt_state, metrics = ppo_update(
-            model, tx, state.params, state.opt_state, roll, bootstrap, k_upd,
-            ppo_cfg, grad_reduce,
-        )
-        done_f = roll.dones.astype(jnp.float32)
-        metrics["reward_per_step"] = jnp.mean(roll.rewards)
+            old_lp_sum = jnp.sum(misc[:, 4:8], axis=1, keepdims=True)
+            aux_t = jnp.concatenate(
+                [misc[:, 0:4], old_lp_sum, returns[:, None], advs[:, None],
+                 jnp.zeros_like(old_lp_sum)],
+                axis=1,
+            )
+            params, opt_state, metrics = ppo_update_t(
+                tx, state.params, state.opt_state, obs_t, aux_t, k_upd,
+                ppo_cfg, grad_reduce,
+            )
+        else:
+            if use_fused_rollout:
+                env_states, roll, bootstrap = rollout_batch_fused(
+                    model, state.params, state.env_states, k_roll, env_cfg,
+                    train_cfg.rollout_steps, pool_size=train_cfg.fused_pool,
+                )
+            else:
+                env_states, roll, bootstrap = rollout_batch(
+                    model, state.params, state.env_states, k_roll, env_cfg,
+                    train_cfg.rollout_steps, reset_pool=train_cfg.reset_pool,
+                )
+            params, opt_state, metrics = ppo_update(
+                model, tx, state.params, state.opt_state, roll, bootstrap,
+                k_upd, ppo_cfg, grad_reduce,
+            )
+            rewards, solved = roll.rewards, roll.solved
+            dones = roll.dones
+        done_f = dones.astype(jnp.float32)
+        metrics["reward_per_step"] = jnp.mean(rewards)
         metrics["episodes"] = jnp.sum(done_f)
-        metrics["solved_frac"] = jnp.sum(roll.solved.astype(jnp.float32)) / jnp.maximum(
+        metrics["solved_frac"] = jnp.sum(solved.astype(jnp.float32)) / jnp.maximum(
             jnp.sum(done_f), 1.0
         )
         if metric_reduce is not None:
