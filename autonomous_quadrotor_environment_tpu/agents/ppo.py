@@ -31,6 +31,7 @@ resets are expensive — landing yes, hover no).
 
 from __future__ import annotations
 
+import math
 from typing import Callable, NamedTuple
 
 import jax
@@ -494,9 +495,7 @@ def update_t_tile(cfg: PPOConfig, steps: int, b: int) -> int:
     n = steps * b
     mb = min(cfg.minibatch_size, n) if cfg.minibatch_size > 0 else n
     tile = cfg.shuffle_block if cfg.shuffle_block > 1 else 512
-    import math as _math
-
-    tile = _math.gcd(tile, b)
+    tile = math.gcd(tile, b)
     if tile < 8 or n % tile or mb % tile:
         return 0
     return tile
