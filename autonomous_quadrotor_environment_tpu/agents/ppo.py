@@ -660,6 +660,37 @@ def make_train_step(
     return train_step
 
 
+def make_train_loop(
+    model: ActorCritic,
+    tx: optax.GradientTransformation,
+    env_cfg: EnvConfig,
+    ppo_cfg: PPOConfig,
+    train_cfg: TrainConfig,
+    inner: int,
+    grad_reduce: Callable | None = None,
+    metric_reduce: Callable | None = None,
+):
+    """`inner` train steps as ONE jitted program (lax.scan over
+    `make_train_step`), returning per-update stacked metrics.
+
+    Why: the device trace (docs/profile/fused_full/) shows the fused step
+    at 66.4 ms on device but 69.8 ms at the host loop — ~3.4 ms/update of
+    dispatch latency over the axon tunnel that even async dispatch does
+    not hide. Scanning N updates in-program pays that once per N and is
+    how a production training loop should drive the chip. Semantics are
+    identical to N sequential `train_step` calls (pinned bitwise in
+    tests/test_ppo.py); callers that need per-update logging read the
+    stacked metrics rows."""
+    step = make_train_step(
+        model, tx, env_cfg, ppo_cfg, train_cfg, grad_reduce, metric_reduce
+    )
+
+    def train_loop(state: PPOTrainState) -> tuple[PPOTrainState, dict]:
+        return jax.lax.scan(lambda s, _: step(s), state, None, length=inner)
+
+    return train_loop
+
+
 def make_eval_fn(model: ActorCritic, env_cfg: EnvConfig, episodes: int, max_steps: int | None = None):
     """Deterministic evaluation: `episodes` parallel envs flown with the
     actor mean (reference `evaluate` ppo.py:272-295 + worker eval branch

@@ -65,7 +65,11 @@ def _roofline(compiled, dt_per_update: float, platform: str) -> dict | None:
 
 
 def bench_controller(platform: str) -> dict:
-    from autonomous_quadrotor_environment_tpu.agents import make_train_step, ppo_init
+    from autonomous_quadrotor_environment_tpu.agents import (
+        make_train_loop,
+        make_train_step,
+        ppo_init,
+    )
     from autonomous_quadrotor_environment_tpu.config import EnvConfig, PPOConfig, TrainConfig
 
     # Reference-equivalent training shape: 1000-step episodes, K=10 epochs,
@@ -98,35 +102,47 @@ def bench_controller(platform: str) -> dict:
         fused_rollout=fused,
     )
     model, tx, state = ppo_init(jax.random.PRNGKey(0), env_cfg, ppo_cfg, train_cfg)
-    train_step = jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
-    compiled = train_step.lower(state).compile()
+    # The measured program is `n_iters` updates scanned into ONE device
+    # executable (agents.make_train_loop): the round-3c device trace
+    # (docs/profile/fused_full/) put the fused step at 66.4 ms on device vs
+    # 69.8 ms end-to-end — ~3.4 ms/update of host dispatch that async
+    # dispatch over the axon tunnel does not hide. Scanning in-program pays
+    # it once per n_iters, which is how a production loop drives the chip;
+    # per-update metrics still come back as stacked rows.
+    n_iters = 10 if platform == "tpu" else 3
+    train_loop = jax.jit(make_train_loop(model, tx, env_cfg, ppo_cfg, train_cfg, inner=n_iters))
+    # Roofline numbers come from the SINGLE-step executable: XLA's cost
+    # model counts a scanned loop body once regardless of trip count, so the
+    # loop's cost_analysis would under-report per-update work.
+    compiled = (
+        jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
+        .lower(state)
+        .compile()
+    )
 
     # Warmup/compile, fenced on a host VALUE fetch (over the remote-TPU
     # (axon) tunnel, block_until_ready can return before remote execution
-    # finishes; only fetched scalars are a trustworthy fence).
-    state, metrics = train_step(state)
-    float(metrics["loss"])
+    # finishes; only fetched scalars are a trustworthy fence). The fetched
+    # LAST loss transitively forces the whole in-program chain.
+    state, metrics = train_loop(state)
+    float(metrics["loss"][-1])
 
-    # AMORTIZED fence: dispatch n_iters sequential steps, fetch only the
-    # LAST loss. Each step's input is the previous step's output state, so
-    # the final scalar transitively forces the entire chain — a true fence
-    # — while the ~34 ms tunnel RTT (measured, runs/r3/bf16_probe.json) is
-    # paid once instead of per step. A real training loop behaves the same
-    # way: JAX async dispatch runs ahead while the logger fetches stale
-    # metrics.
-    n_iters = 10 if platform == "tpu" else 3
+    # Chain n_outer loop dispatches and fetch only the final loss: the
+    # ~34 ms tunnel RTT (runs/r3/bf16_probe.json) is then paid once per
+    # n_outer*n_iters updates instead of once per loop call.
+    n_outer = 5 if platform == "tpu" else 1
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, metrics = train_step(state)
-    float(metrics["loss"])
+    for _ in range(n_outer):
+        state, metrics = train_loop(state)
+    float(metrics["loss"][-1])
     dt = time.perf_counter() - t0
-    steps_per_s = n_iters * num_envs * rollout_steps / dt
+    steps_per_s = n_outer * n_iters * num_envs * rollout_steps / dt
     return {
         "metric": "ppo_train_env_steps_per_s",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
-        "roofline": _roofline(compiled, dt / n_iters, platform),
+        "roofline": _roofline(compiled, dt / (n_outer * n_iters), platform),
     }
 
 

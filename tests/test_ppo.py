@@ -124,6 +124,36 @@ def test_train_step_runs_and_is_finite():
     assert int(state.update_i) == 2
 
 
+def test_train_loop_matches_sequential_steps():
+    """make_train_loop(inner=3) must be bitwise the 3-call sequential loop
+    (same PRNG stream, same update order) with per-update stacked metrics."""
+    from autonomous_quadrotor_environment_tpu.agents import make_train_loop
+
+    env_cfg = EnvConfig(n_steps=100)
+    ppo_cfg = PPOConfig(k_epochs=2)
+    train_cfg = TrainConfig(num_envs=8, rollout_steps=32, network_size=16)
+    model, tx, state = ppo_init(jax.random.PRNGKey(0), env_cfg, ppo_cfg, train_cfg)
+    train_step = jax.jit(make_train_step(model, tx, env_cfg, ppo_cfg, train_cfg))
+    loop = jax.jit(make_train_loop(model, tx, env_cfg, ppo_cfg, train_cfg, inner=3))
+
+    seq_state, seq_metrics = state, []
+    for _ in range(3):
+        seq_state, m = train_step(seq_state)
+        seq_metrics.append(m)
+    loop_state, loop_metrics = loop(state)
+
+    assert int(loop_state.update_i) == 3
+    np.testing.assert_array_equal(
+        np.asarray(loop_state.params["params"]["actor"]["Dense_0"]["kernel"]),
+        np.asarray(seq_state.params["params"]["actor"]["Dense_0"]["kernel"]),
+    )
+    assert loop_metrics["loss"].shape == (3,)
+    for i, m in enumerate(seq_metrics):
+        np.testing.assert_array_equal(
+            np.asarray(loop_metrics["loss"][i]), np.asarray(m["loss"])
+        )
+
+
 def test_ppo_learns_on_hover():
     """A miniaturized training run must improve the evaluation reward — the
     same solved-rate criterion as the reference's log (SURVEY.md §6), scaled
