@@ -32,6 +32,12 @@ def build_parser():
     p.add_argument("--nominal", type=str, required=True)
     p.add_argument("--robust", type=str, default=None)
     p.add_argument("--size", type=int, default=128)
+    p.add_argument(
+        "--robust-size", type=int, default=None,
+        help="hidden width of the robust policy when it differs from "
+        "--size (the reference sweeps N in {16..256}; a wider robust net "
+        "keeps the same 75-dim observation space)",
+    )
     p.add_argument("--episodes", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -44,9 +50,15 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     model = ActorCritic(hidden=args.size)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
-    policies = {"nominal": load_params(args.nominal, template)}
+    policies = {"nominal": (model, load_params(args.nominal, template))}
     if args.robust:
-        policies["robust"] = load_params(args.robust, template)
+        rsize = args.robust_size or args.size
+        if rsize == args.size:
+            model_r, tmpl_r = model, template
+        else:
+            model_r = ActorCritic(hidden=rsize)
+            tmpl_r = model_r.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
+        policies["robust"] = (model_r, load_params(args.robust, tmpl_r))
 
     envs = {
         "calm": EnvConfig(n_steps=1000),
@@ -57,8 +69,8 @@ def main(argv=None) -> dict:
     key = jax.random.PRNGKey(args.seed)
     table = {}
     for env_name, cfg in envs.items():
-        eval_fn = jax.jit(make_eval_fn(model, cfg, episodes=args.episodes))
-        for pol_name, params in policies.items():
+        for pol_name, (pol_model, params) in policies.items():
+            eval_fn = jax.jit(make_eval_fn(pol_model, cfg, episodes=args.episodes))
             out = {k: float(v) for k, v in eval_fn(params, key).items()}
             table[f"{pol_name}/{env_name}"] = out
     print(json.dumps(table, indent=2))

@@ -15,12 +15,13 @@ Example:
 from __future__ import annotations
 
 import argparse
+import math
 import time
 from datetime import datetime
 
 import jax
 
-from ..agents import make_eval_fn, make_train_step, ppo_init
+from ..agents import make_eval_fn, make_train_loop, make_train_step, ppo_init
 from ..config import EnvConfig, PPOConfig, TrainConfig
 from ..utils import CSVLogger, JSONLLogger, TRAIN_LOG_HEADER, save_params
 
@@ -61,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
         "remainder extends the final stage) and scales the randomization "
         "magnitudes (RandomizationConfig.scaled). "
         "E.g. --robust --curriculum 0,0.33,0.66,1.0",
+    )
+    p.add_argument(
+        "--inner", type=int, default=1,
+        help="scan N train steps into one jitted program between host "
+        "round-trips (agents.make_train_loop; docs/PERF.md round 3d). "
+        "Clamped to gcd(--inner, --eval-every, per-stage updates) so chunks "
+        "never straddle an eval point or a curriculum stage boundary; "
+        "semantics are identical to --inner 1.",
     )
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0 = single)")
     p.add_argument("--out", type=str, default="runs/control")
@@ -110,6 +119,11 @@ def main(argv=None) -> dict:
     else:
         severities = [1.0 if args.robust else 0.0]
     per_stage = max(args.updates // len(severities), 1)
+    # In-jit multi-update chunking: clamp so a chunk never straddles an
+    # eval point or a stage boundary (behavior stays identical to inner=1).
+    inner = max(args.inner, 1)
+    if inner > 1:
+        inner = max(math.gcd(math.gcd(inner, args.eval_every), per_stage), 1)
 
     env_cfg = stage_env_cfg(severities[-1])  # full-severity (final) config
     ppo_cfg = PPOConfig(lr=args.lr, k_epochs=args.k_epochs)
@@ -131,17 +145,32 @@ def main(argv=None) -> dict:
         mesh = make_dp_mesh(args.dp)
 
     def build(cfg: EnvConfig, stage_key, carry_state=None):
-        """(Re)build train_step/eval_fn for a stage; keep params/opt from
-        the carried state when present (env batch is re-reset under the new
-        randomization config)."""
+        """(Re)build train_step/train_loop/eval_fn for a stage; keep
+        params/opt from the carried state when present (env batch is
+        re-reset under the new randomization config). Both the single step
+        and the `inner`-chunk loop are lazy jits — only what the main loop
+        actually calls gets compiled."""
+        loop = None
         if mesh is not None:
-            from ..parallel import make_parallel_train_step, ppo_init_sharded
+            from ..parallel import (
+                make_parallel_train_loop,
+                make_parallel_train_step,
+                ppo_init_sharded,
+            )
 
             model, tx, state = ppo_init_sharded(stage_key, cfg, ppo_cfg, train_cfg, mesh)
             step = make_parallel_train_step(model, tx, cfg, ppo_cfg, train_cfg, mesh)
+            if inner > 1:
+                loop = make_parallel_train_loop(
+                    model, tx, cfg, ppo_cfg, train_cfg, mesh, inner
+                )
         else:
             model, tx, state = ppo_init(stage_key, cfg, ppo_cfg, train_cfg)
             step = jax.jit(make_train_step(model, tx, cfg, ppo_cfg, train_cfg))
+            if inner > 1:
+                loop = jax.jit(
+                    make_train_loop(model, tx, cfg, ppo_cfg, train_cfg, inner)
+                )
         if carry_state is not None:
             state = state.replace(
                 params=carry_state.params,
@@ -151,10 +180,10 @@ def main(argv=None) -> dict:
         # Evaluation always runs at FULL severity so curves are comparable
         # across stages (calm-stage policies just score worse early).
         eval_fn = jax.jit(make_eval_fn(model, env_cfg, episodes=args.eval_episodes))
-        return model, state, step, eval_fn
+        return model, state, step, loop, eval_fn
 
     stage_i = 0
-    model, state, train_step, eval_fn = build(
+    model, state, train_step, train_loop, eval_fn = build(
         stage_env_cfg(severities[0]), key
     )
     if args.resume_from:
@@ -193,22 +222,35 @@ def main(argv=None) -> dict:
     total_eps_dev = None  # device-side accumulator: no per-update host sync
     last_eval = {}
 
-    for i in range(1, args.updates + 1):
-        # (i-1)//per_stage so each stage trains for exactly per_stage updates
-        # (any remainder from updates % stages extends the final stage).
-        next_stage = min((i - 1) // per_stage, len(severities) - 1)
+    i = 0  # updates completed
+    while i < args.updates:
+        # i//per_stage = the stage of update i+1, so each stage trains for
+        # exactly per_stage updates (any remainder from updates % stages
+        # extends the final stage). `inner` divides per_stage, so a chunk
+        # never straddles a stage boundary.
+        next_stage = min(i // per_stage, len(severities) - 1)
         if next_stage != stage_i:
             stage_i = next_stage
             sev = severities[stage_i]
             print(f"== curriculum stage {stage_i}: severity {sev:.2f} ==")
-            model, state, train_step, eval_fn = build(
+            model, state, train_step, train_loop, eval_fn = build(
                 stage_env_cfg(sev), jax.random.fold_in(key, 1000 + stage_i), state
             )
-        state, metrics = train_step(state)
-        total_steps += train_cfg.num_envs * train_cfg.rollout_steps
+        if train_loop is not None and args.updates - i >= inner:
+            # One device program for `inner` updates; logging reads the
+            # final update's stacked metrics row (all device-side slices).
+            state, stacked = train_loop(state)
+            metrics = jax.tree.map(lambda x: x[-1], stacked)
+            chunk_eps = jax.numpy.sum(stacked["episodes"])
+            chunk = inner
+        else:
+            state, metrics = train_step(state)
+            chunk_eps = metrics["episodes"]
+            chunk = 1
+        i += chunk
+        total_steps += chunk * train_cfg.num_envs * train_cfg.rollout_steps
         total_eps_dev = (
-            metrics["episodes"] if total_eps_dev is None
-            else total_eps_dev + metrics["episodes"]
+            chunk_eps if total_eps_dev is None else total_eps_dev + chunk_eps
         )
         if i % args.eval_every == 0:
             total_eps = int(total_eps_dev)

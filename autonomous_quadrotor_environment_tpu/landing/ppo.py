@@ -117,6 +117,18 @@ def landing_rollout(
     exact per-step resets.
     """
 
+    if image_dtype is None:
+        store_image = lambda x: x
+    elif jnp.dtype(image_dtype) == jnp.dtype(jnp.uint8):
+        # Quantized storage: pixels live in [0,1] (render/camera.py), so a
+        # round-to-255 grid loses no more precision than bf16's 8-bit
+        # mantissa while quartering the update's dominant HBM stream (the
+        # per-epoch minibatch image gather). landing_loss dequantizes after
+        # the gather.
+        store_image = lambda x: jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
+    else:
+        store_image = lambda x: x.astype(image_dtype)
+
     use_pool = reset_pool > 0
     if use_pool:
         b = env_states.done.shape[0]
@@ -164,9 +176,10 @@ def landing_rollout(
             )(env_states, action)
             next_obs = out.obs
         roll = LandingRollout(
-            # bf16 storage halves the update loop's dominant HBM stream (the
-            # per-epoch minibatch gather of the (T*B, 84, 84, 3) images).
-            images=obs.image if image_dtype is None else obs.image.astype(image_dtype),
+            # Reduced-precision storage (bf16 halves, uint8 quarters) the
+            # update loop's dominant HBM stream — the per-epoch minibatch
+            # gather of the (T*B, 84, 84, 3) images.
+            images=store_image(obs.image),
             sens=obs.control_in,
             actions=action,
             logprobs=logprob,
@@ -193,6 +206,10 @@ def landing_rollout(
 def landing_loss(model, params, images, sens, actions, old_lp, returns, advs, cfg: PPOConfig):
     # Model compute may be bf16 (landing_ppo_init conv_dtype); the surrogate
     # / ratio / MSE math is always f32.
+    if images.dtype == jnp.uint8:
+        # Dequantize AFTER the minibatch gather so the gather moves 1-byte
+        # pixels; straight into the model's compute dtype.
+        images = images.astype(model.dtype) * (1.0 / 255.0)
     mean = model.apply(params, images, sens, method="actor").astype(jnp.float32)
     log_std = params["params"]["log_std"]
     value = model.apply(

@@ -10,13 +10,19 @@ across chips, gradients `pmean` over ICI, and the "broadcast" is the
 replicated parameter sharding (no files, no pickling, no polling).
 """
 
-from .dp import make_dp_mesh, make_parallel_train_step, ppo_init_sharded
+from .dp import (
+    make_dp_mesh,
+    make_parallel_train_loop,
+    make_parallel_train_step,
+    ppo_init_sharded,
+)
 from .dp_landing import landing_ppo_init_sharded, make_landing_parallel_train_step
 
 __all__ = [
     "landing_ppo_init_sharded",
     "make_dp_mesh",
     "make_landing_parallel_train_step",
+    "make_parallel_train_loop",
     "make_parallel_train_step",
     "ppo_init_sharded",
 ]

@@ -178,3 +178,25 @@ def make_parallel_train_step(
         return new, metrics
 
     return jax.jit(_sharded)
+
+
+def make_parallel_train_loop(
+    model: ActorCritic,
+    tx,
+    env_cfg: EnvConfig,
+    ppo_cfg: PPOConfig,
+    train_cfg: TrainConfig,
+    mesh: Mesh,
+    inner: int,
+):
+    """`inner` dp train steps as ONE jitted program — the shard_mapped step
+    scanned in-program (see agents.make_train_loop for the rationale: host
+    dispatch is paid once per `inner` updates). Semantics are identical to
+    `inner` sequential `make_parallel_train_step` calls; per-update metrics
+    come back as stacked rows."""
+    step = make_parallel_train_step(model, tx, env_cfg, ppo_cfg, train_cfg, mesh)
+
+    def loop(state: PPOTrainState):
+        return jax.lax.scan(lambda s, _: step(s), state, None, length=inner)
+
+    return jax.jit(loop)

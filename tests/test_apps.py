@@ -148,3 +148,21 @@ def test_live_mission_mode_switching():
     ])
     assert r["mode_switches"] == 3
     assert r["frames"] >= 5
+
+
+def test_train_control_inner_matches_single_steps(tmp_path):
+    """`train_control --inner N` (in-jit multi-update chunking via
+    agents.make_train_loop) must reproduce the --inner 1 run exactly: same
+    PRNG stream, same update order, same final evaluation."""
+    from autonomous_quadrotor_environment_tpu.apps import train_control
+
+    common = [
+        "--seed", "3", "--size", "16", "--updates", "6", "--num-envs", "8",
+        "--rollout-steps", "16", "--eval-every", "3", "--eval-episodes", "4",
+        "--solved-threshold", "1.1",
+    ]
+    r1 = train_control.main(common + ["--out", str(tmp_path / "single")])
+    rN = train_control.main(common + ["--inner", "3", "--out", str(tmp_path / "inner")])
+    assert r1["total_steps"] == rN["total_steps"]
+    for k, v in r1["final_eval"].items():
+        np.testing.assert_array_equal(v, rN["final_eval"][k], err_msg=k)

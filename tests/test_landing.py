@@ -156,11 +156,13 @@ def test_landing_train_step_smoke():
     assert int(state.update_i) == 1
 
 
-def test_landing_train_step_bf16_matches_f32():
+def test_landing_train_step_reduced_precision_matches_f32():
     """Mixed-precision trainer contract (landing_ppo_init conv_dtype +
-    image_dtype): bf16 conv compute / bf16-stored rollout images keep params
-    f32 and produce per-step metrics within bf16 tolerance of the f32 path
-    under identical keys."""
+    image_dtype): bf16 conv compute with bf16- or uint8-stored rollout
+    images keeps params f32 and produces per-step metrics within reduced-
+    precision tolerance of the f32 path under identical keys. uint8 storage
+    quantizes [0,1] pixels onto a 1/255 grid (landing_rollout store_image)
+    and dequantizes after the minibatch gather (landing_loss)."""
     import dataclasses
 
     model_c, params_c = _ctrl()
@@ -168,7 +170,11 @@ def test_landing_train_step_bf16_matches_f32():
         PPOConfig.landing_variant(), k_epochs=1, minibatch_size=8, shuffle_block=8
     )
     out = {}
-    for conv, img in ((jnp.float32, None), (jnp.bfloat16, jnp.bfloat16)):
+    for name, conv, img in (
+        ("f32", jnp.float32, None),
+        ("bf16", jnp.bfloat16, jnp.bfloat16),
+        ("u8", jnp.bfloat16, jnp.uint8),
+    ):
         model, tx, state = landing_ppo_init(
             jax.random.PRNGKey(0), CFGS, ppo_cfg, num_envs=2, ctrl_model=model_c,
             ctrl_params=params_c, conv_dtype=conv,
@@ -180,11 +186,12 @@ def test_landing_train_step_bf16_matches_f32():
         for _ in range(2):
             state, metrics = train_step(state)
         assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
-        out[conv.__name__] = (float(metrics["loss"]), float(metrics["reward_per_decision"]))
-    loss32, rew32 = out["float32"]
-    loss16, rew16 = out["bfloat16"]
-    np.testing.assert_allclose(loss16, loss32, rtol=0.05)
-    np.testing.assert_allclose(rew16, rew32, rtol=0.05, atol=0.02)
+        out[name] = (float(metrics["loss"]), float(metrics["reward_per_decision"]))
+    loss32, rew32 = out["f32"]
+    for name in ("bf16", "u8"):
+        loss_r, rew_r = out[name]
+        np.testing.assert_allclose(loss_r, loss32, rtol=0.05)
+        np.testing.assert_allclose(rew_r, rew32, rtol=0.05, atol=0.02)
 
 
 def test_landing_eval_smoke():

@@ -193,3 +193,35 @@ def test_dp_landing_train_step_on_8_device_mesh():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_dp_train_loop_matches_sequential_dp_steps():
+    """make_parallel_train_loop(inner=2) must be bitwise the 2-call
+    sequential shard_mapped loop (same PRNG stream, same update order),
+    with per-update stacked metrics."""
+    from autonomous_quadrotor_environment_tpu.parallel import make_parallel_train_loop
+
+    mesh = make_dp_mesh(8)
+    env_cfg = EnvConfig(n_steps=50)
+    ppo_cfg = PPOConfig(k_epochs=2)
+    train_cfg = TrainConfig(num_envs=32, rollout_steps=8, network_size=16)
+    model, tx, state = ppo_init_sharded(
+        jax.random.PRNGKey(0), env_cfg, ppo_cfg, train_cfg, mesh
+    )
+    step = make_parallel_train_step(model, tx, env_cfg, ppo_cfg, train_cfg, mesh)
+    loop = make_parallel_train_loop(model, tx, env_cfg, ppo_cfg, train_cfg, mesh, inner=2)
+
+    seq_state, seq_losses = state, []
+    for _ in range(2):
+        seq_state, m = step(seq_state)
+        seq_losses.append(np.asarray(m["loss"]))
+    loop_state, stacked = loop(state)
+
+    assert int(loop_state.update_i) == 2
+    assert stacked["loss"].shape == (2,)
+    np.testing.assert_array_equal(
+        np.asarray(loop_state.params["params"]["actor"]["Dense_0"]["kernel"]),
+        np.asarray(seq_state.params["params"]["actor"]["Dense_0"]["kernel"]),
+    )
+    for i, loss in enumerate(seq_losses):
+        np.testing.assert_array_equal(np.asarray(stacked["loss"][i]), loss)
