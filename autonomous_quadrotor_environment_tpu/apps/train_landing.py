@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="policy decisions per env per update")
     p.add_argument("--eval-every", type=int, default=10)
     p.add_argument("--eval-episodes", type=int, default=20)
+    p.add_argument(
+        "--inner", type=int, default=1,
+        help="scan N train steps into one jitted program between host "
+        "round-trips (landing.make_landing_train_loop; docs/PERF.md round "
+        "3d). Clamped to gcd(--inner, --eval-every); semantics identical "
+        "to --inner 1.",
+    )
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0 = single)")
     p.add_argument("--out", type=str, default="runs/landing")
     p.add_argument("--resume", type=str, default=None,
@@ -62,10 +69,17 @@ def main(argv=None) -> dict:
     cfgs = LandingConfigs.default(training=True)
     ppo_cfg = PPOConfig.landing_variant()
 
+    import math as _math
+
+    inner = max(args.inner, 1)
+    if inner > 1:
+        inner = max(_math.gcd(inner, args.eval_every), 1)
+    train_loop = None
     if args.dp > 0:
         from ..parallel import (
             landing_ppo_init_sharded,
             make_dp_mesh,
+            make_landing_parallel_train_loop,
             make_landing_parallel_train_step,
         )
 
@@ -77,6 +91,11 @@ def main(argv=None) -> dict:
         train_step = make_landing_parallel_train_step(
             model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, args.rollout_steps, mesh
         )
+        if inner > 1:
+            train_loop = make_landing_parallel_train_loop(
+                model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params,
+                args.rollout_steps, mesh, inner,
+            )
     else:
         model, tx, state = landing_ppo_init(
             jax.random.PRNGKey(args.seed), cfgs, ppo_cfg, args.num_envs,
@@ -87,6 +106,15 @@ def main(argv=None) -> dict:
                 model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, args.rollout_steps
             )
         )
+        if inner > 1:
+            from ..landing import make_landing_train_loop
+
+            train_loop = jax.jit(
+                make_landing_train_loop(
+                    model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params,
+                    args.rollout_steps, inner,
+                )
+            )
     if args.resume:
         params = load_params(args.resume, state.params)
         state = state.replace(params=params, opt_state=tx.init(params))
@@ -97,8 +125,15 @@ def main(argv=None) -> dict:
     jsonl = JSONLLogger(f"{args.out}/train_landing_{args.seed}.jsonl")
     t0 = time.time()
     last_eval = {}
-    for i in range(1, args.updates + 1):
-        state, metrics = train_step(state)
+    i = 0  # updates completed
+    while i < args.updates:
+        if train_loop is not None and args.updates - i >= inner:
+            state, stacked = train_loop(state)
+            metrics = jax.tree.map(lambda x: x[-1], stacked)
+            i += inner
+        else:
+            state, metrics = train_step(state)
+            i += 1
         if i % args.eval_every == 0:
             last_eval = {
                 k: float(v)

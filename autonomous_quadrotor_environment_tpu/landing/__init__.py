@@ -17,6 +17,7 @@ from .ppo import (
     landing_eval,
     landing_ppo_init,
     make_landing_eval_fn,
+    make_landing_train_loop,
     make_landing_train_step,
 )
 from .reward import visual_reward
@@ -32,6 +33,7 @@ __all__ = [
     "landing_step",
     "landing_step_autoreset",
     "make_landing_eval_fn",
+    "make_landing_train_loop",
     "make_landing_train_step",
     "visual_reward",
 ]

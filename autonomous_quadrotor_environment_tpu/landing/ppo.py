@@ -327,6 +327,39 @@ def make_landing_train_step(
     return train_step
 
 
+def make_landing_train_loop(
+    model,
+    tx,
+    cfgs: LandingConfigs,
+    ppo_cfg: PPOConfig,
+    ctrl_model,
+    ctrl_params,
+    rollout_steps: int,
+    inner: int,
+    grad_reduce: Callable | None = None,
+    metric_reduce: Callable | None = None,
+    reset_pool: int = 2,
+    image_dtype=None,
+):
+    """`inner` landing train steps as ONE jitted program (lax.scan over
+    `make_landing_train_step`) — same rationale as agents.make_train_loop:
+    host dispatch is paid once per `inner` updates. Same PRNG stream and
+    update order as `inner` sequential calls; results agree to float32
+    rounding (XLA schedules the conv-heavy scan body slightly differently
+    than the standalone step, unlike the MLP state trainer where the loop
+    is bitwise — pinned in tests/test_landing.py). Per-update metrics come
+    back stacked."""
+    step = make_landing_train_step(
+        model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, rollout_steps,
+        grad_reduce, metric_reduce, reset_pool, image_dtype,
+    )
+
+    def train_loop(state: LandingTrainState):
+        return jax.lax.scan(lambda s, _: step(s), state, None, length=inner)
+
+    return train_loop
+
+
 def make_landing_eval_fn(
     model, cfgs: LandingConfigs, ctrl_model, ctrl_params, episodes: int,
     max_decisions: int | None = None,

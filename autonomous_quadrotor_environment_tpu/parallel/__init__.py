@@ -16,11 +16,16 @@ from .dp import (
     make_parallel_train_step,
     ppo_init_sharded,
 )
-from .dp_landing import landing_ppo_init_sharded, make_landing_parallel_train_step
+from .dp_landing import (
+    landing_ppo_init_sharded,
+    make_landing_parallel_train_loop,
+    make_landing_parallel_train_step,
+)
 
 __all__ = [
     "landing_ppo_init_sharded",
     "make_dp_mesh",
+    "make_landing_parallel_train_loop",
     "make_landing_parallel_train_step",
     "make_parallel_train_loop",
     "make_parallel_train_step",

@@ -111,3 +111,28 @@ def make_landing_parallel_train_step(
         return new, metrics
 
     return jax.jit(_sharded)
+
+
+def make_landing_parallel_train_loop(
+    model,
+    tx,
+    cfgs: LandingConfigs,
+    ppo_cfg: PPOConfig,
+    ctrl_model,
+    ctrl_params,
+    rollout_steps: int,
+    mesh: Mesh,
+    inner: int,
+):
+    """`inner` dp landing train steps scanned into ONE jitted program (see
+    agents.make_train_loop / parallel.make_parallel_train_loop): host
+    dispatch is paid once per `inner` updates, per-update metrics come back
+    as stacked rows."""
+    step = make_landing_parallel_train_step(
+        model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, rollout_steps, mesh
+    )
+
+    def loop(state):
+        return jax.lax.scan(lambda s, _: step(s), state, None, length=inner)
+
+    return jax.jit(loop)

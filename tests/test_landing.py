@@ -268,3 +268,41 @@ def test_oracle_flare_is_upper_bound_baseline():
     )
     assert float(out["oracle_solved"]) >= 0.9
     assert float(out["oracle_finished"]) == 1.0
+
+
+def test_landing_train_loop_matches_sequential_steps():
+    """make_landing_train_loop(inner=2) follows the same PRNG stream and
+    update order as 2 sequential steps; agreement is to f32 rounding (XLA
+    schedules the conv-heavy scanned body slightly differently than the
+    standalone step), with per-update stacked metrics."""
+    import dataclasses
+
+    from autonomous_quadrotor_environment_tpu.landing import make_landing_train_loop
+
+    model_c, params_c = _ctrl()
+    ppo_cfg = dataclasses.replace(
+        PPOConfig.landing_variant(), k_epochs=1, minibatch_size=8, shuffle_block=8
+    )
+    model, tx, state = landing_ppo_init(
+        jax.random.PRNGKey(0), CFGS, ppo_cfg, num_envs=2, ctrl_model=model_c,
+        ctrl_params=params_c,
+    )
+    step = jax.jit(make_landing_train_step(
+        model, tx, CFGS, ppo_cfg, model_c, params_c, rollout_steps=3
+    ))
+    loop = jax.jit(make_landing_train_loop(
+        model, tx, CFGS, ppo_cfg, model_c, params_c, rollout_steps=3, inner=2
+    ))
+
+    seq_state, seq_losses = state, []
+    for _ in range(2):
+        seq_state, m = step(seq_state)
+        seq_losses.append(float(m["loss"]))
+    loop_state, stacked = loop(state)
+
+    assert int(loop_state.update_i) == 2
+    assert stacked["loss"].shape == (2,)
+    for a, b in zip(jax.tree.leaves(loop_state.params), jax.tree.leaves(seq_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    for i, loss in enumerate(seq_losses):
+        np.testing.assert_allclose(float(stacked["loss"][i]), loss, rtol=1e-4)
