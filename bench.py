@@ -154,6 +154,7 @@ def bench_landing(platform: str) -> list[dict]:
     from autonomous_quadrotor_environment_tpu.landing.env import LandingConfigs
     from autonomous_quadrotor_environment_tpu.landing.ppo import (
         landing_ppo_init,
+        make_landing_train_loop,
         make_landing_train_step,
     )
     from autonomous_quadrotor_environment_tpu.utils import load_params
@@ -177,23 +178,39 @@ def bench_landing(platform: str) -> list[dict]:
         jax.random.PRNGKey(0), cfgs, ppo_cfg, num_envs, ctrl, ctrl_params,
         conv_dtype=jnp.bfloat16 if mixed else jnp.float32,
     )
-    step = jax.jit(
-        make_landing_train_step(
-            model, tx, cfgs, ppo_cfg, ctrl, ctrl_params, rollout,
+    # Measure the scanned multi-update loop (landing.make_landing_train_loop
+    # = train_landing --inner): host dispatch is paid once per n_iters
+    # updates, matching how a production run drives the chip. Roofline still
+    # comes from the single-step executable (XLA's cost model counts a
+    # scanned body once regardless of trip count).
+    n_iters = 5 if platform == "tpu" else 3
+    loop = jax.jit(
+        make_landing_train_loop(
+            model, tx, cfgs, ppo_cfg, ctrl, ctrl_params, rollout, n_iters,
             image_dtype=jnp.bfloat16 if mixed else None,
         )
     )
-    compiled = step.lower(state).compile()
-    state, m = step(state)
-    float(m["loss"])
-    # Amortized fence (see bench_controller): chain the steps, fetch last.
-    n_iters = 5 if platform == "tpu" else 3
+    compiled = (
+        jax.jit(
+            make_landing_train_step(
+                model, tx, cfgs, ppo_cfg, ctrl, ctrl_params, rollout,
+                image_dtype=jnp.bfloat16 if mixed else None,
+            )
+        )
+        .lower(state)
+        .compile()
+    )
+    state, m = loop(state)
+    float(m["loss"][-1])
+    # Chain 2 loop dispatches, fetch only the final loss: the tunnel RTT is
+    # paid once per 2*n_iters updates (see bench_controller).
+    n_outer = 2
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, m = step(state)
-    float(m["loss"])
+    for _ in range(n_outer):
+        state, m = loop(state)
+    float(m["loss"][-1])
     dt = time.perf_counter() - t0
-    dps = n_iters * num_envs * rollout / dt
+    dps = n_outer * n_iters * num_envs * rollout / dt
     return [
         {
             "metric": "landing_train_decisions_per_s",
