@@ -79,6 +79,25 @@ def u8_probe():
     mod.main()
 
 
+# ---------------------------------------------------------------- stage 1b
+def bench_probe():
+    """bench.py's measurement in-process (one TPU client): records the
+    landing-loop bench mode's first TPU numbers to runs/r3/bench_probe.json."""
+    import contextlib
+    import io
+
+    import bench as bench_mod
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench_mod.main()
+    line = buf.getvalue().strip().splitlines()[-1]
+    print("bench:", line, flush=True)
+    os.makedirs("runs/r3", exist_ok=True)
+    with open("runs/r3/bench_probe.json", "w") as f:
+        f.write(line + "\n")
+
+
 # ---------------------------------------------------------------- stage 2
 def robust256():
     from autonomous_quadrotor_environment_tpu.apps import train_control
@@ -128,6 +147,7 @@ if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     stage("tunnel_smoke", None, tunnel_smoke)
     stage("u8_probe", "runs/r3/landing_u8.json", u8_probe)
+    stage("bench_probe", "runs/r3/bench_probe.json", bench_probe)
     stage("robust256", "runs/ctrl_robust256/nn_final_256_0.msgpack", robust256)
     stage("robust256_mix", "runs/ctrl_robust256_mix/nn_final_256_0.msgpack", robust256_mix)
     stage("robust256_eval", "runs/ctrl_robust256_mix/eval.json", robust256_eval)
