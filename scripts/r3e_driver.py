@@ -98,6 +98,16 @@ def bench_probe():
         f.write(line + "\n")
 
 
+# ---------------------------------------------------------------- stage 1c
+def landing_bsweep():
+    spec = importlib.util.spec_from_file_location(
+        "r3_landing_bsweep", os.path.join(REPO, "scripts/r3_landing_bsweep.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
 # ---------------------------------------------------------------- stage 2
 def robust256():
     from autonomous_quadrotor_environment_tpu.apps import train_control
@@ -148,6 +158,7 @@ if __name__ == "__main__":
     stage("tunnel_smoke", None, tunnel_smoke)
     stage("u8_probe", "runs/r3/landing_u8.json", u8_probe)
     stage("bench_probe", "runs/r3/bench_probe.json", bench_probe)
+    stage("landing_bsweep", "runs/r3/landing_bsweep.json", landing_bsweep)
     stage("robust256", "runs/ctrl_robust256/nn_final_256_0.msgpack", robust256)
     stage("robust256_mix", "runs/ctrl_robust256_mix/nn_final_256_0.msgpack", robust256_mix)
     stage("robust256_eval", "runs/ctrl_robust256_mix/eval.json", robust256_eval)
