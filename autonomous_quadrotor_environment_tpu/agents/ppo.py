@@ -576,12 +576,37 @@ def make_train_step(
     train_cfg: TrainConfig,
     grad_reduce: Callable | None = None,
     metric_reduce: Callable | None = None,
+    local_envs: int | None = None,
 ):
     """Build the fused rollout+update step (jit it, or shard_map it for
-    multi-chip — see parallel/)."""
+    multi-chip — see parallel/).
+
+    ``local_envs``: the PER-DEVICE env count when the step will run inside
+    shard_map (parallel/dp.py passes num_envs // n_dp). The transposed-update
+    eligibility tile must be computed from the batch each device actually
+    sees, or a dp config could pass the global gate here and then fail
+    ppo_update_t's per-shard assert at trace time (ADVICE r3).
+    """
 
     from ..ops.rollout_fused import supports as _fused_rollout_supports
 
+    if local_envs is None:
+        local_envs = train_cfg.num_envs
+    # The fused rollout kernel samples with model.action_std while the fused
+    # update kernels recompute logprobs from ppo_cfg.action_std; a mismatch
+    # would silently train with wrong ratios (ADVICE r3) — refuse loudly.
+    if train_cfg.fused_rollout or ppo_cfg.fused_update:
+        if float(model.action_std) != float(ppo_cfg.action_std):
+            raise ValueError(
+                f"model.action_std={model.action_std} != "
+                f"ppo_cfg.action_std={ppo_cfg.action_std}: the fused kernels "
+                "take the policy std from both places and must agree"
+            )
+        if bool(model.learn_std) != bool(ppo_cfg.learn_std):
+            raise ValueError(
+                f"model.learn_std={model.learn_std} != "
+                f"ppo_cfg.learn_std={ppo_cfg.learn_std}"
+            )
     obs_dim = env_cfg.hist_t * 15
     use_fused_rollout = (
         train_cfg.fused_rollout
@@ -595,7 +620,7 @@ def make_train_step(
         use_fused_rollout
         and ppo_cfg.fused_update
         and not ppo_cfg.fused_adam
-        and update_t_tile(ppo_cfg, train_cfg.rollout_steps, train_cfg.num_envs) > 0
+        and update_t_tile(ppo_cfg, train_cfg.rollout_steps, local_envs) > 0
     )
 
     def train_step(state: PPOTrainState) -> tuple[PPOTrainState, dict]:

@@ -70,6 +70,77 @@ def plot_training_curves(curves: dict, path: str, metric: str = "reward") -> str
     return path
 
 
+def sweep_band_figure(
+    out_dir: str,
+    sizes: list[int],
+    seeds: list[int],
+    path: str,
+    solved_threshold: float = 0.95,
+) -> dict:
+    """Per-size mean±std reward bands over seeds — the reference's
+    network-size-sweep figure (training_log/csv_reader.py:17-69 plots
+    mean/band curves over its 5 sizes x 4 seeds log grid).
+
+    Seeds early-stop at different update counts (train_control stops at the
+    solved threshold, like the reference's worker); shorter curves are
+    extended by holding their final value, which is faithful for a solved
+    run (the policy is frozen at that quality) and matches how the
+    reference's analyzer aligns unequal-length logs. Returns the per-size
+    aggregate table (also written by the caller to summary.json).
+    """
+    import csv
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    summary: dict = {}
+    colors = plt.get_cmap("viridis")(np.linspace(0.0, 0.85, len(sizes)))
+    for size, color in zip(sizes, colors):
+        per_seed = []
+        finals, solved_flags, episodes = [], [], []
+        for seed in seeds:
+            fp = os.path.join(out_dir, f"log_{size}_{seed}.csv")
+            if not os.path.exists(fp):
+                continue
+            with open(fp) as f:
+                rows = list(csv.DictReader(f))
+            if not rows:
+                continue
+            upd = np.array([int(r["Training Count"]) for r in rows])
+            rew = np.array([float(r["Reward avg"]) for r in rows])
+            sol = np.array([float(r["Solved avg"]) for r in rows])
+            per_seed.append((upd, rew))
+            finals.append(rew[-1])
+            solved_flags.append(bool((sol >= solved_threshold).any()))
+            episodes.append(int(rows[-1]["Total Episodes"]))
+        if not per_seed:
+            continue
+        grid = max(u[-1] for u, _ in per_seed)
+        step = min(np.diff(u).min() if len(u) > 1 else grid for u, _ in per_seed)
+        xs = np.arange(step, grid + 1, step)
+        mat = np.stack([
+            np.interp(xs, u, r, right=r[-1]) for u, r in per_seed
+        ])
+        mean, std = mat.mean(0), mat.std(0)
+        ax.plot(xs, mean, color=color, label=f"N={size} ({len(per_seed)} seeds)")
+        ax.fill_between(xs, mean - std, mean + std, color=color, alpha=0.2)
+        summary[str(size)] = {
+            "seeds": len(per_seed),
+            "solved_seeds": int(np.sum(solved_flags)),
+            "final_reward_mean": float(np.mean(finals)),
+            "final_reward_std": float(np.std(finals)),
+            "episodes_mean": float(np.mean(episodes)),
+        }
+    ax.set_xlabel("update")
+    ax.set_ylabel("eval reward (mean ± std over seeds)")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    ax.set_title("Network-size sweep (reference csv_reader.py figure)")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return summary
+
+
 def plot_landing_stats(
     errors: np.ndarray,   # (E, T, 3) per-episode position errors over time
     path: str,

@@ -68,8 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="scan N train steps into one jitted program between host "
         "round-trips (agents.make_train_loop; docs/PERF.md round 3d). "
         "Clamped to gcd(--inner, --eval-every, per-stage updates) so chunks "
-        "never straddle an eval point or a curriculum stage boundary; "
-        "semantics are identical to --inner 1.",
+        "never straddle an eval point or a curriculum stage boundary. "
+        "TRAINING semantics are identical to --inner 1 (bitwise, "
+        "tests/test_ppo.py), but per-update LOGGING is chunk-granular: each "
+        "CSV/JSONL row carries the chunk-final update's loss/metrics "
+        "(episodes are summed over the chunk), and eval-gated decisions "
+        "(--polish, solved stop) fire only at chunk boundaries.",
     )
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0 = single)")
     p.add_argument("--out", type=str, default="runs/control")

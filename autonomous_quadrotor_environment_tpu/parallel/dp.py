@@ -140,6 +140,9 @@ def make_parallel_train_step(
         train_cfg,
         grad_reduce=lambda g: jax.lax.pmean(g, "dp"),
         metric_reduce=lambda m: jax.lax.pmean(m, "dp"),
+        # Fused-path eligibility must be judged on the per-device batch the
+        # shard_mapped step actually sees, not the global one (ADVICE r3).
+        local_envs=train_cfg.num_envs // mesh.devices.size,
     )
 
     spec = _state_spec()

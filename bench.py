@@ -216,7 +216,9 @@ def bench_landing(platform: str) -> list[dict]:
             "metric": "landing_train_decisions_per_s",
             "value": round(dps, 1),
             "unit": "decisions/s",
-            "roofline": _roofline(compiled, dt / n_iters, platform),
+            # dt covers n_outer*n_iters updates (ADVICE r3: dividing by
+            # n_iters alone understated the landing roofline 2x).
+            "roofline": _roofline(compiled, dt / (n_outer * n_iters), platform),
         },
         {
             "metric": "landing_train_phys_steps_per_s",
@@ -226,8 +228,54 @@ def bench_landing(platform: str) -> list[dict]:
     ]
 
 
+def _retry_in_subprocess(max_attempts: int = 6, wait_s: float = 300.0) -> None:
+    """Backend init failed: retry the whole bench in fresh subprocesses.
+
+    VERDICT r3 next #1a: the remote-TPU (axon) tunnel has a documented
+    stochastic wedge whose recovery takes 10-25 min (CLAUDE.md postmortem);
+    round 3's driver bench died on a single `Unable to initialize backend`
+    with no retry, costing the round its certified number. Retry up to
+    ~30 min, backing off 5 min between attempts.
+
+    A FRESH PROCESS per attempt is mandatory: a failed plugin init can leave
+    jax's in-process `_backends` cache partially populated (xla_bridge
+    `backends()` mutates the global dict before raising), so an in-process
+    retry could silently fall through to the CPU backend. Children run with
+    BENCH_NO_RETRY=1 so only the top-level process loops.
+    """
+    import subprocess
+    import sys
+
+    for attempt in range(2, max_attempts + 1):
+        print(
+            f"# backend init failed; retry {attempt}/{max_attempts} in "
+            f"{wait_s:.0f}s (fresh process)",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(wait_s)
+        env = dict(os.environ, BENCH_NO_RETRY="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        if proc.returncode == 0:
+            sys.stdout.write(proc.stdout)
+            sys.stdout.flush()
+            sys.exit(0)
+        sys.stderr.write(proc.stderr[-2000:])
+    sys.exit(1)
+
+
 def main() -> None:
-    platform = jax.devices()[0].platform
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError as e:
+        if os.environ.get("BENCH_NO_RETRY") or (
+            "nable to initialize backend" not in str(e) and "UNAVAILABLE" not in str(e)
+        ):
+            raise
+        _retry_in_subprocess()
+        return
     result = bench_controller(platform)
     try:
         result["extras"] = bench_landing(platform)

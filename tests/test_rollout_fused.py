@@ -176,6 +176,45 @@ def test_rollout_batch_fused_trains():
     assert int(state.update_i) == 2
 
 
+def test_termination_agreement_statistical():
+    """Bound the Cephes-approximation drift on terminations (ADVICE r3).
+
+    The fused kernel computes Euler angles with ~3e-6-max-error f32
+    atan2/asin (rf._atan2/_asin), so fused and XLA rollouts can disagree on
+    razor-edge done/solved decisions. The twin test can't see this (it uses
+    the same approximations). Here: a large batch of random states —
+    including copies perturbed toward the bounding box, under a tight box
+    that actually terminates — stepped once by both `hover.step` (exact
+    trig) and `rf.step_math`; the done/solved bits must agree on all but a
+    vanishing fraction of rows."""
+    n = 4096
+    cfg = dataclasses.replace(EnvConfig(), bb_scale=0.3)
+    keys = jax.random.split(jax.random.PRNGKey(11), n)
+    states = jax.jit(jax.vmap(lambda k: hover.reset(k, cfg)))(keys)
+    # Push half the batch outward so plenty of rows straddle the box.
+    scale = jnp.where(jnp.arange(n) % 2 == 0, 1.0, 2.5)[:, None]
+    states = states.replace(x=states.x * scale)
+    actions = jax.random.uniform(
+        jax.random.PRNGKey(12), (n, 4), minval=-1.2, maxval=1.2
+    )
+
+    _, out = jax.jit(jax.vmap(lambda s, a: hover.step(s, a, cfg)))(states, actions)
+    C = rf._scalars(cfg)
+    s_packed = rf.pack_env_state(states)
+    _, _, done_k, solved_k = jax.jit(lambda s, a: rf.step_math(s, a, C))(
+        s_packed, actions.T
+    )
+
+    done_x = np.asarray(out.done)
+    solved_x = np.asarray(out.solved)
+    done_f = np.asarray(done_k[0]) > 0.5
+    solved_f = np.asarray(solved_k[0]) > 0.5
+    assert done_x.sum() > 100, "termination path not exercised"
+    # <=0.1% disagreement: drift only on rows within float-noise of a cut.
+    assert np.mean(done_x != done_f) <= 1e-3, np.mean(done_x != done_f)
+    assert np.mean(solved_x != solved_f) <= 1e-3
+
+
 def test_supports_gating():
     cfg = EnvConfig()
     assert rf.supports(cfg, learn_std=False, obs_dim=75)
