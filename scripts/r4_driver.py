@@ -125,6 +125,10 @@ def landing_bsweep():
     _run_script("scripts/r3_landing_bsweep.py")
 
 
+def landing_block_probe():
+    _run_script("scripts/r4_landing_block_probe.py")
+
+
 # ---------------------------------------------------------------- sweep
 def _sweep_run_done(csv_path: str) -> bool:
     """A sweep run is complete if its CSV ended solved (>=0.95) or ran the
@@ -256,6 +260,7 @@ if __name__ == "__main__":
     stage("bench_probe", "runs/r4/bench_probe.json", bench_probe, est_s=600)
     stage("u8_probe", "runs/r3/landing_u8.json", u8_probe, est_s=600)
     stage("landing_bsweep", "runs/r3/landing_bsweep.json", landing_bsweep, est_s=900)
+    stage("landing_block_probe", "runs/r4/landing_block_probe.json", landing_block_probe, est_s=900)
     stage("size_sweep", "runs/sweep/summary.json", size_sweep, est_s=3600)
     stage("robust256", "runs/ctrl_robust256/nn_final_256_0.msgpack", robust256, est_s=2400)
     stage("robust256_mix", "runs/ctrl_robust256_mix/nn_final_256_0.msgpack", robust256_mix, est_s=1200)

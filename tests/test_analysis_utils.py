@@ -152,6 +152,41 @@ def test_plots_write_pngs(tmp_path):
     assert os.path.getsize(p3) > 1000
 
 
+def test_sweep_band_figure(tmp_path):
+    """Per-size mean±std bands over seeds with unequal-length (early-stopped)
+    curves — the csv_reader-style figure for the 5x4 sweep."""
+    from autonomous_quadrotor_environment_tpu.analysis.plots import sweep_band_figure
+
+    _write_log(str(tmp_path / "log_128_0.csv"), [1.0, 5.0, 9.0])
+    _write_log(str(tmp_path / "log_128_1.csv"), [2.0, 6.0])  # early-stopped
+    _write_log(str(tmp_path / "log_64_0.csv"), [0.0, 1.0, 2.0])
+    out = str(tmp_path / "bands.png")
+    summary = sweep_band_figure(str(tmp_path), [64, 128, 256], [0, 1], out)
+    assert os.path.getsize(out) > 1000
+    assert set(summary) == {"64", "128"}  # no 256 logs -> omitted
+    assert summary["128"]["seeds"] == 2
+    # Final means: seed1's last value (6.0) is held to the common grid end.
+    np.testing.assert_allclose(summary["128"]["final_reward_mean"], (9.0 + 6.0) / 2)
+
+
+def test_manual_flight_autopilot(tmp_path):
+    """The closed-loop scripted pilot (--autopilot) flies and logs through
+    the same CSV path (the human-benchmark stand-in, RESULTS.md)."""
+    from autonomous_quadrotor_environment_tpu.apps import manual_flight
+    from autonomous_quadrotor_environment_tpu.fixtures import SOLVED_CONTROLLER
+
+    out = manual_flight.main([
+        "--controller", SOLVED_CONTROLLER, "--user", "ap",
+        "--episodes", "1", "--autopilot", "--out", str(tmp_path / "runs"),
+    ])
+    assert len(out["episodes"]) == 1
+    agg = aggregate_pilot_logs(str(tmp_path / "runs" / "log_ap_eval.csv"))
+    assert agg["episodes"] == 1
+    # With the solved fixture under it, the P-pilot should land this episode
+    # (81/100 measured); episode 0 of user "ap" is deterministic.
+    assert out["episodes"][0]["Time"] > 0
+
+
 def test_step_response_metrics():
     from autonomous_quadrotor_environment_tpu.apps.step_response import (
         response_metrics_velocity,
