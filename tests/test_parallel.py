@@ -40,6 +40,27 @@ def test_dp_train_step_runs_on_8_device_mesh():
         np.testing.assert_array_equal(shards[0], s)
 
 
+def test_dp_fused_gate_uses_per_shard_batch():
+    """ADVICE r3 regression: fused paths enabled + a global batch that
+    passes the transposed-update tile gate while the PER-SHARD batch fails
+    it (32 envs / 8 devices = 4 < the 8-lane minimum). Before the fix,
+    make_train_step gated on the global count and ppo_update_t's per-shard
+    assert fired at trace time; now the step must fall back to the XLA
+    update and run."""
+    mesh = make_dp_mesh(8)
+    env_cfg = EnvConfig(n_steps=50)
+    ppo_cfg = PPOConfig(k_epochs=2, fused_update=True, shuffle_block=128)
+    train_cfg = TrainConfig(
+        num_envs=32, rollout_steps=8, network_size=16, fused_rollout=True
+    )
+    model, tx, state = ppo_init_sharded(
+        jax.random.PRNGKey(0), env_cfg, ppo_cfg, train_cfg, mesh
+    )
+    train_step = make_parallel_train_step(model, tx, env_cfg, ppo_cfg, train_cfg, mesh)
+    state, metrics = train_step(state)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_dp_envs_are_sharded():
     mesh = make_dp_mesh(8)
     env_cfg = EnvConfig(n_steps=50)
