@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -36,6 +37,20 @@ os.chdir(REPO)
 sys.path.insert(0, REPO)
 
 import jax
+
+# Exit code telling wait_and_run.sh "the tunnel died under me — resume the
+# probe loop and relaunch later" (stages are artifact-gated, so a relaunch
+# costs nothing already done).
+EXIT_TUNNEL_LOST = 99
+
+_TUNNEL_SIGNATURES = (
+    "UNAVAILABLE",
+    "nable to initialize backend",
+    "DEADLINE_EXCEEDED",
+    "Socket closed",
+    "Connection reset",
+    "failed to connect",
+)
 
 FIXTURE_CTRL = "autonomous_quadrotor_environment_tpu/fixtures/nn_solved_128_0.msgpack"
 DEADLINE_TS = float(os.environ.get("R4_DEADLINE_TS", "0")) or None
@@ -54,6 +69,19 @@ def remaining_s() -> float:
     return (DEADLINE_TS - time.time()) if DEADLINE_TS else float("inf")
 
 
+def _watchdog(signum, frame):
+    # The round-2 postmortem wedge mode: the client freezes mid-call (futex
+    # wait, 0 CPU) and a Python-level exception may never propagate out of
+    # the blocked C call. Hard-exit so the waiter's probe loop takes over;
+    # incremental flushes + artifact gating make the restart cheap.
+    print(f"\n===== WATCHDOG: stage exceeded its time budget — exiting "
+          f"{EXIT_TUNNEL_LOST} for the waiter to resume =====", flush=True)
+    os._exit(EXIT_TUNNEL_LOST)
+
+
+signal.signal(signal.SIGALRM, _watchdog)
+
+
 def stage(name, artifact, fn, est_s: float = 600.0):
     if artifact and os.path.exists(artifact):
         banner(f"{name}: artifact {artifact} exists, skipping")
@@ -63,14 +91,23 @@ def stage(name, artifact, fn, est_s: float = 600.0):
         return None
     banner(f"{name}: start")
     t0 = time.time()
+    # Watchdog: 2x the estimate (first-compile inflation) + 15 min.
+    signal.alarm(int(2 * est_s + 900))
     try:
         out = fn()
         banner(f"{name}: done in {time.time() - t0:.0f}s")
         return out
     except Exception:
-        traceback.print_exc()
+        tb = traceback.format_exc()
+        print(tb, flush=True)
+        if any(sig in tb for sig in _TUNNEL_SIGNATURES):
+            banner(f"{name}: TUNNEL LOST after {time.time() - t0:.0f}s — "
+                   f"exiting {EXIT_TUNNEL_LOST} for the waiter to resume")
+            sys.exit(EXIT_TUNNEL_LOST)
         banner(f"{name}: FAILED after {time.time() - t0:.0f}s — continuing")
         return None
+    finally:
+        signal.alarm(0)
 
 
 # ---------------------------------------------------------------- smoke

@@ -44,7 +44,18 @@ print('smoke ok', flush=True)
 "; then
     echo "$(date +%H:%M:%S) tunnel alive, launching: $*"
     sleep 5
-    R4_DEADLINE_TS="$DEADLINE" exec "$@"
+    R4_DEADLINE_TS="$DEADLINE" "$@"
+    rc=$?
+    if [ "$rc" -eq 99 ]; then
+      # Driver lost the tunnel mid-run (exit 99 = resume protocol; stages
+      # are artifact-gated so the relaunch skips everything done). Wait a
+      # full recovery interval before probing again.
+      echo "$(date +%H:%M:%S) driver lost tunnel (rc=99), resuming probe loop"
+      sleep 240
+      continue
+    fi
+    echo "$(date +%H:%M:%S) driver exited rc=$rc, waiter done"
+    exit "$rc"
   fi
   sleep 240
 done
