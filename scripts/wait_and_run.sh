@@ -35,7 +35,7 @@ while true; do
     exit 3
   fi
   echo "$(date +%H:%M:%S) probe"
-  if timeout 150 python -u -c "
+  if timeout 90 python -u -c "
 import jax, jax.numpy as jnp
 print('devices:', jax.devices(), flush=True)
 x = jax.jit(lambda a: a @ a)(jnp.eye(8))
@@ -57,5 +57,5 @@ print('smoke ok', flush=True)
     echo "$(date +%H:%M:%S) driver exited rc=$rc, waiter done"
     exit "$rc"
   fi
-  sleep 240
+  sleep 300
 done
