@@ -28,13 +28,19 @@ if ! flock -n 9; then
 fi
 
 cd /root/repo
+# Exponential backoff between failed probes: the round-2 postmortem says the
+# tunnel needs IDLE time to recover (10-25 min observed), so a fixed 5-min
+# cadence can plausibly keep re-wedging it forever. Gap grows 300 -> 1800 s
+# across consecutive failures and resets on success.
+GAP=300
+MAXGAP=1800
 while true; do
   now=$(date +%s)
   if [ $((now + MARGIN)) -ge "$DEADLINE" ]; then
     echo "$(date +%H:%M:%S) deadline margin reached, giving up (tunnel stays idle)"
     exit 3
   fi
-  echo "$(date +%H:%M:%S) probe"
+  echo "$(date +%H:%M:%S) probe (next gap ${GAP}s)"
   if timeout 90 python -u -c "
 import jax, jax.numpy as jnp
 print('devices:', jax.devices(), flush=True)
@@ -43,6 +49,7 @@ assert float(x.sum()) == 8.0
 print('smoke ok', flush=True)
 "; then
     echo "$(date +%H:%M:%S) tunnel alive, launching: $*"
+    GAP=300
     sleep 5
     R4_DEADLINE_TS="$DEADLINE" "$@"
     rc=$?
@@ -57,5 +64,6 @@ print('smoke ok', flush=True)
     echo "$(date +%H:%M:%S) driver exited rc=$rc, waiter done"
     exit "$rc"
   fi
-  sleep 300
+  sleep "$GAP"
+  GAP=$((GAP * 2)); [ "$GAP" -gt "$MAXGAP" ] && GAP=$MAXGAP
 done
