@@ -254,10 +254,14 @@ def _retry_in_subprocess(max_attempts: int = 6, wait_s: float = 300.0) -> None:
         )
         time.sleep(wait_s)
         env = dict(os.environ, BENCH_NO_RETRY="1")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            print("# attempt timed out after 1800s", file=sys.stderr, flush=True)
+            continue
         if proc.returncode == 0:
             sys.stdout.write(proc.stdout)
             sys.stdout.flush()
@@ -266,9 +270,31 @@ def _retry_in_subprocess(max_attempts: int = 6, wait_s: float = 300.0) -> None:
     sys.exit(1)
 
 
+def _init_backend_with_timeout(timeout_s: int = 240) -> str:
+    """`jax.devices()` over the axon tunnel can HANG indefinitely inside
+    PJRT `make_c_api_client` (observed 2026-08-18: outage where the probe
+    blocks at xla_client.py:161 forever, never raising). A SIGALRM turns the
+    hang into the same retryable failure as an init error."""
+    import signal
+
+    def _alarm(signum, frame):
+        raise RuntimeError("Unable to initialize backend: init timed out (hang)")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    t0 = time.time()
+    prev_remaining = signal.alarm(timeout_s)  # preserve any outer watchdog
+    try:
+        return jax.devices()[0].platform
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+        if prev_remaining:  # re-arm the outer timer with its remaining budget
+            signal.alarm(max(int(prev_remaining - (time.time() - t0)), 1))
+
+
 def main() -> None:
     try:
-        platform = jax.devices()[0].platform
+        platform = _init_backend_with_timeout()
     except RuntimeError as e:
         if os.environ.get("BENCH_NO_RETRY") or (
             "nable to initialize backend" not in str(e) and "UNAVAILABLE" not in str(e)
