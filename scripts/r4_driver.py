@@ -203,6 +203,10 @@ def size_sweep():
                 if os.path.exists(stale):
                     os.remove(stale)
             banner(f"sweep size={size} seed={seed}")
+            # Re-arm the stage watchdog per run: each run is ~1-3 min and
+            # individually resumable, so a mid-sweep tunnel wedge should
+            # cost <=20 min, not the whole-stage 2*est+900 budget.
+            signal.alarm(1200)
             train_control.main([
                 "--seed", str(seed), "--size", str(size),
                 "--updates", str(SWEEP_UPDATES), "--num-envs", "256",
@@ -210,6 +214,7 @@ def size_sweep():
                 "--inner", str(SWEEP_EVAL_EVERY), "--out", "runs/sweep",
             ])
     # Aggregate + band figure (reference csv_reader.py:17-69 analog).
+    signal.alarm(900)
     from autonomous_quadrotor_environment_tpu.analysis.plots import sweep_band_figure
 
     summary = sweep_band_figure(
