@@ -10,6 +10,11 @@ same aggregate statistics and distribution figure.
 
     python -m autonomous_quadrotor_environment_tpu.apps.seed_study \
         --seeds 30 --out runs/seed_study
+
+`--stacked` trains every seed simultaneously as ONE compiled program
+(agents/multiseed.py — the seed axis becomes a vmap batch axis), replacing
+the reference's one-SLURM-job-per-seed farm with a single-chip run at
+roughly one seed's wall clock. Same per-seed PRNG streams and CSV schema.
 """
 
 from __future__ import annotations
@@ -41,6 +46,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reward-threshold", type=float, default=None,
                    help="episodes_to_solve eval-reward gate; default uses "
                    "the solved-fraction stop in train_control")
+    p.add_argument(
+        "--stacked", action="store_true",
+        help="train ALL seeds simultaneously as ONE compiled program "
+        "(agents/multiseed.py: jax.vmap over the full train step — the "
+        "TPU-native replacement for the reference's one-SLURM-job-per-seed "
+        "farm). Same per-seed PRNG streams and CSV schema as the serial "
+        "path; eval/early-stop happen jointly every --eval-every updates, "
+        "and the study ends when every seed has solved",
+    )
+    p.add_argument("--eval-episodes", type=int, default=40)
+    p.add_argument("--solved-threshold", type=float, default=0.95)
     return p
 
 
@@ -105,30 +121,145 @@ def plot_distribution(summary: dict, out_path: str) -> None:
     plt.close(fig)
 
 
-def main(argv=None) -> dict:
-    args = build_parser().parse_args(argv)
-    os.makedirs(args.out, exist_ok=True)
-    seeds = list(range(args.start_seed, args.start_seed + args.seeds))
+def _unsolved_seeds(args, seeds: list[int]) -> list[int]:
+    """Resumable (CLAUDE.md tunnel rules): a seed whose CSV already shows a
+    solved run is skipped so a killed study restarts cleanly; stale partial
+    logs are removed."""
+    remaining = []
     for s in seeds:
-        print(f"===== seed {s} =====")
-        # Resumable (CLAUDE.md tunnel rules): a seed whose CSV already shows
-        # a solved/full run is skipped so a killed study restarts cleanly.
         csv_path = f"{args.out}/log_{args.size}_{s}.csv"
         if os.path.exists(csv_path):
-            if episodes_to_solve(csv_path, solved_threshold=0.95) is not None:
+            if episodes_to_solve(csv_path, solved_threshold=args.solved_threshold) is not None:
                 print(f"(seed {s} already solved, skipping)")
                 continue
             os.remove(csv_path)
             stale = f"{args.out}/train_{args.size}_{s}.jsonl"
             if os.path.exists(stale):
                 os.remove(stale)
-        train_control.main([
-            "--seed", str(s), "--size", str(args.size),
-            "--updates", str(args.updates), "--num-envs", str(args.num_envs),
-            "--rollout-steps", str(args.rollout_steps),
-            "--task", args.task, "--vel-target-max", str(args.vel_target_max),
-            "--eval-every", str(args.eval_every), "--out", args.out,
-        ])
+        remaining.append(s)
+    return remaining
+
+
+def run_stacked(args, seeds: list[int]) -> None:
+    """The whole study as one compiled program (agents/multiseed.py):
+    chunks of --eval-every vmapped updates scanned in-program, a joint
+    per-seed eval after each chunk, per-seed CSV/JSONL rows in the
+    reference schema, early stop when every seed has solved."""
+    import math
+    import time
+    from datetime import datetime
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..agents.multiseed import (
+        make_multiseed_eval_fn,
+        make_multiseed_train_loop,
+        multiseed_init,
+        seed_slice,
+    )
+    from ..config import EnvConfig, PPOConfig, TrainConfig
+    from ..utils import CSVLogger, JSONLLogger, TRAIN_LOG_HEADER, save_params
+
+    vel_max = (
+        (args.vel_target_max,) * 3 if args.task == "velocity" else (0.0, 0.0, 0.0)
+    )
+    env_cfg = EnvConfig(n_steps=1000, vel_target_max=vel_max)
+    ppo_cfg = PPOConfig()
+    train_cfg = TrainConfig(
+        num_envs=args.num_envs, rollout_steps=args.rollout_steps,
+        network_size=args.size, updates=args.updates,
+        eval_every=args.eval_every, eval_episodes=args.eval_episodes,
+    )
+    model, tx, state = multiseed_init(seeds, env_cfg, ppo_cfg, train_cfg)
+    inner = max(math.gcd(args.eval_every, args.updates), 1)
+    loop = jax.jit(
+        make_multiseed_train_loop(model, tx, env_cfg, ppo_cfg, train_cfg, inner)
+    )
+    eval_multi = jax.jit(
+        make_multiseed_eval_fn(model, env_cfg, episodes=args.eval_episodes)
+    )
+    # Same eval-key discipline as train_control: fold_in(PRNGKey(seed), i).
+    base_keys = jax.jit(jax.vmap(jax.random.PRNGKey))(
+        jnp.asarray(seeds, jnp.int32)
+    )
+    fold_keys = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(0, None)))
+
+    csvs = {
+        s: CSVLogger(f"{args.out}/log_{args.size}_{s}.csv", TRAIN_LOG_HEADER)
+        for s in seeds
+    }
+    jsonls = {s: JSONLLogger(f"{args.out}/train_{args.size}_{s}.jsonl") for s in seeds}
+    t0 = time.time()
+    total_steps = 0
+    total_eps_dev = None  # (S,) device-side accumulator
+    i = 0
+    while i < args.updates:
+        state, stacked = loop(state)
+        i += inner
+        chunk_eps = jnp.sum(stacked["episodes"], axis=0)
+        total_eps_dev = (
+            chunk_eps if total_eps_dev is None else total_eps_dev + chunk_eps
+        )
+        total_steps += inner * args.num_envs * args.rollout_steps
+        evals = eval_multi(state.params, fold_keys(base_keys, i))
+        evals = {k: [float(x) for x in v] for k, v in evals.items()}
+        eps_host = [int(x) for x in total_eps_dev]
+        hours = (time.time() - t0) / 3600.0
+        now = datetime.now()
+        for idx, s in enumerate(seeds):
+            csvs[s].append({
+                "LR": ppo_cfg.lr, "Max timesteps": env_cfg.n_steps,
+                "Update timesteps": args.num_envs * args.rollout_steps,
+                "K epochs": ppo_cfg.k_epochs,
+                "Eval episodes": args.eval_episodes, "Std": ppo_cfg.action_std,
+                "Date": now.strftime("%d/%m/%Y"),
+                "Time": now.strftime("%H:%M:%S"), "Training Count": i,
+                "T hours": round(hours, 4),
+                "Reward avg": evals["eval_reward"][idx],
+                "Solved avg": evals["eval_solved"][idx],
+                "Time avg": evals["eval_length"][idx],
+                "Total Episodes": eps_host[idx],
+                "Total Timesteps": total_steps,
+                "ETF": round(hours / i * (args.updates - i), 4),
+            })
+            jsonls[s].log(update=i, **{k: v[idx] for k, v in evals.items()})
+        n_solved = sum(
+            v >= args.solved_threshold for v in evals["eval_solved"]
+        )
+        print(
+            f"update {i:5d}  solved {n_solved}/{len(seeds)} seeds  "
+            f"reward {min(evals['eval_reward']):.1f}..{max(evals['eval_reward']):.1f}  "
+            f"steps/s {len(seeds) * total_steps / (time.time() - t0):9.0f}"
+        )
+        if n_solved == len(seeds):
+            break
+    for idx, s in enumerate(seeds):
+        save_params(
+            f"{args.out}/nn_final_{args.size}_{s}.msgpack",
+            seed_slice(state.params, idx),
+        )
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    seeds = list(range(args.start_seed, args.start_seed + args.seeds))
+    remaining = _unsolved_seeds(args, seeds)
+    if args.stacked:
+        if remaining:
+            print(f"===== stacked study: {len(remaining)} seeds in one program =====")
+            run_stacked(args, remaining)
+    else:
+        for s in remaining:
+            print(f"===== seed {s} =====")
+            train_control.main([
+                "--seed", str(s), "--size", str(args.size),
+                "--updates", str(args.updates), "--num-envs", str(args.num_envs),
+                "--rollout-steps", str(args.rollout_steps),
+                "--task", args.task, "--vel-target-max", str(args.vel_target_max),
+                "--eval-every", str(args.eval_every), "--out", args.out,
+            ])
     summary = aggregate(args.out, args.size, seeds)
     with open(f"{args.out}/summary.json", "w") as f:
         json.dump(summary, f, indent=2)

@@ -1,0 +1,115 @@
+"""Vectorized multi-seed training (agents/multiseed.py).
+
+The stacked study must be the SAME experiment as the serial one
+(reference: one SLURM job per seed, slurm_output/slurm-*.out, aggregated by
+logger_analyzer.py:45-97): identical per-seed PRNG streams, so the stacked
+init is bitwise the serial init and a stacked train step tracks the serial
+step to f32 tolerance (vmap changes op scheduling, not semantics)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autonomous_quadrotor_environment_tpu.agents import (
+    make_multiseed_eval_fn,
+    make_multiseed_train_loop,
+    make_multiseed_train_step,
+    make_train_step,
+    multiseed_init,
+    ppo_init,
+    seed_slice,
+)
+from autonomous_quadrotor_environment_tpu.config import EnvConfig, PPOConfig, TrainConfig
+
+ENV = EnvConfig(n_steps=50)
+PPO = PPOConfig(k_epochs=2, minibatch_size=0)
+TRAIN = TrainConfig(num_envs=8, rollout_steps=8, network_size=16)
+SEEDS = [0, 3]
+
+
+def tree_allclose(a, b, rtol=1e-5, atol=1e-6):
+    flat_a, _ = jax.tree.flatten(a)
+    flat_b, _ = jax.tree.flatten(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=rtol, atol=atol)
+
+
+def test_stacked_init_matches_serial_per_seed():
+    model, tx, stacked = multiseed_init(SEEDS, ENV, PPO, TRAIN)
+    for i, s in enumerate(SEEDS):
+        _m, _t, serial = ppo_init(jax.random.PRNGKey(s), ENV, PPO, TRAIN)
+        tree_allclose(seed_slice(stacked.params, i), serial.params, rtol=0, atol=0)
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(seed_slice(stacked.key, i))),
+            np.asarray(jax.random.key_data(serial.key)),
+        )
+        tree_allclose(
+            seed_slice(stacked.env_states.x, i), serial.env_states.x, rtol=0, atol=0
+        )
+
+
+def test_stacked_step_tracks_serial_step():
+    model, tx, stacked = multiseed_init(SEEDS, ENV, PPO, TRAIN)
+    multi_step = jax.jit(make_multiseed_train_step(model, tx, ENV, PPO, TRAIN))
+    stacked2, metrics = multi_step(stacked)
+    assert metrics["loss"].shape == (len(SEEDS),)
+    for i, s in enumerate(SEEDS):
+        _m, _t, serial = ppo_init(jax.random.PRNGKey(s), ENV, PPO, TRAIN)
+        step = jax.jit(make_train_step(model, tx, ENV, PPO, TRAIN))
+        serial2, m = step(serial)
+        tree_allclose(seed_slice(stacked2.params, i), serial2.params,
+                      rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            float(metrics["loss"][i]), float(m["loss"]), rtol=1e-4
+        )
+
+
+def test_stacked_loop_shapes_and_progress():
+    model, tx, stacked = multiseed_init(SEEDS, ENV, PPO, TRAIN)
+    loop = jax.jit(make_multiseed_train_loop(model, tx, ENV, PPO, TRAIN, inner=3))
+    stacked, metrics = loop(stacked)
+    assert metrics["loss"].shape == (3, len(SEEDS))
+    assert bool(jnp.all(jnp.isfinite(metrics["loss"])))
+    assert int(stacked.update_i[0]) == 3
+    evals = jax.jit(make_multiseed_eval_fn(model, ENV, episodes=4))(
+        stacked.params, jax.vmap(jax.random.PRNGKey)(jnp.arange(len(SEEDS)))
+    )
+    assert evals["eval_reward"].shape == (len(SEEDS),)
+
+
+def test_fused_configs_refused():
+    with pytest.raises(ValueError, match="multiseed"):
+        make_multiseed_train_step(
+            None, None, ENV, PPOConfig(fused_update=True), TRAIN
+        )
+    with pytest.raises(ValueError, match="multiseed"):
+        make_multiseed_train_step(
+            None, None, ENV, PPO, TrainConfig(num_envs=8, fused_rollout=True)
+        )
+
+
+def test_seed_study_stacked_app(tmp_path):
+    from autonomous_quadrotor_environment_tpu.apps import seed_study
+
+    out = str(tmp_path / "study")
+    summary = seed_study.main([
+        "--stacked", "--seeds", "2", "--size", "16", "--updates", "4",
+        "--eval-every", "2", "--num-envs", "8", "--rollout-steps", "8",
+        "--eval-episodes", "4", "--out", out,
+    ])
+    assert summary["seeds"] == 2
+    for s in (0, 1):
+        csv_path = f"{out}/log_16_{s}.csv"
+        assert os.path.exists(csv_path)
+        with open(csv_path) as f:
+            rows = f.read().strip().splitlines()
+        assert len(rows) == 1 + 2  # header + one row per eval point
+        assert os.path.exists(f"{out}/nn_final_16_{s}.msgpack")
+    assert os.path.exists(f"{out}/summary.json")
+    with open(f"{out}/summary.json") as f:
+        json.load(f)
