@@ -121,16 +121,29 @@ def plot_distribution(summary: dict, out_path: str) -> None:
     plt.close(fig)
 
 
+def _ran_full_budget(csv_path: str, updates: int) -> bool:
+    import csv as _csv
+
+    with open(csv_path) as f:
+        rows = list(_csv.DictReader(f))
+    return bool(rows) and int(float(rows[-1]["Training Count"])) >= updates
+
+
 def _unsolved_seeds(args, seeds: list[int]) -> list[int]:
     """Resumable (CLAUDE.md tunnel rules): a seed whose CSV already shows a
-    solved run is skipped so a killed study restarts cleanly; stale partial
-    logs are removed."""
+    solved run — or one that ran the full update budget without solving
+    (a legitimate outcome for small networks in the size sweep) — is
+    skipped so a killed study restarts cleanly; stale partial logs are
+    removed."""
     remaining = []
     for s in seeds:
         csv_path = f"{args.out}/log_{args.size}_{s}.csv"
         if os.path.exists(csv_path):
             if episodes_to_solve(csv_path, solved_threshold=args.solved_threshold) is not None:
                 print(f"(seed {s} already solved, skipping)")
+                continue
+            if _ran_full_budget(csv_path, args.updates):
+                print(f"(seed {s} ran the full budget unsolved, skipping)")
                 continue
             os.remove(csv_path)
             stale = f"{args.out}/train_{args.size}_{s}.jsonl"

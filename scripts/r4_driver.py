@@ -187,32 +187,42 @@ def size_sweep():
     """The reference's headline experiment at the reference's scope
     (VERDICT r3 missing #1): 5 sizes x 4 seeds, early stop at solved, with
     N=256 included (reference training_log/log_{016..256}_*.csv,
-    csv_reader.py:17-69). Resumable per run."""
-    from autonomous_quadrotor_environment_tpu.apps import train_control
+    csv_reader.py:17-69).
+
+    Each size trains its remaining seeds STACKED — one compiled program via
+    agents/multiseed.py (seed_study.run_stacked) — so a size costs ~one
+    run's wall clock instead of four. Resumable per (size, seed): solved or
+    full-budget CSVs are kept, partial ones retrain."""
+    import argparse
+
+    from autonomous_quadrotor_environment_tpu.apps import seed_study
 
     for size in SWEEP_SIZES:
-        for seed in SWEEP_SEEDS:
-            csv_path = f"runs/sweep/log_{size}_{seed}.csv"
-            if _sweep_run_done(csv_path):
-                print(f"(sweep {size}/{seed} already complete, skipping)", flush=True)
-                continue
-            if remaining_s() < 900:
-                print("(sweep: deadline margin reached, stopping)", flush=True)
-                return
-            for stale in (csv_path, f"runs/sweep/train_{size}_{seed}.jsonl"):
+        todo = [s for s in SWEEP_SEEDS
+                if not _sweep_run_done(f"runs/sweep/log_{size}_{s}.csv")]
+        if not todo:
+            print(f"(sweep size={size}: all seeds complete, skipping)", flush=True)
+            continue
+        if remaining_s() < 900:
+            print("(sweep: deadline margin reached, stopping)", flush=True)
+            return
+        for seed in todo:
+            for stale in (f"runs/sweep/log_{size}_{seed}.csv",
+                          f"runs/sweep/train_{size}_{seed}.jsonl"):
                 if os.path.exists(stale):
                     os.remove(stale)
-            banner(f"sweep size={size} seed={seed}")
-            # Re-arm the stage watchdog per run: each run is ~1-3 min and
-            # individually resumable, so a mid-sweep tunnel wedge should
-            # cost <=20 min, not the whole-stage 2*est+900 budget.
-            signal.alarm(1200)
-            train_control.main([
-                "--seed", str(seed), "--size", str(size),
-                "--updates", str(SWEEP_UPDATES), "--num-envs", "256",
-                "--rollout-steps", "32", "--eval-every", str(SWEEP_EVAL_EVERY),
-                "--inner", str(SWEEP_EVAL_EVERY), "--out", "runs/sweep",
-            ])
+        banner(f"sweep size={size} seeds={todo} (stacked)")
+        # Re-arm the stage watchdog per size: a stacked size is a few
+        # minutes and individually resumable, so a mid-sweep tunnel wedge
+        # costs <=30 min, not the whole-stage 2*est+900 budget.
+        signal.alarm(1800)
+        args = argparse.Namespace(
+            out="runs/sweep", size=size, updates=SWEEP_UPDATES,
+            num_envs=256, rollout_steps=32, eval_every=SWEEP_EVAL_EVERY,
+            eval_episodes=40, solved_threshold=0.95,
+            task="hover", vel_target_max=1.0,
+        )
+        seed_study.run_stacked(args, todo)
     # Aggregate + band figure (reference csv_reader.py:17-69 analog).
     signal.alarm(900)
     from autonomous_quadrotor_environment_tpu.analysis.plots import sweep_band_figure
