@@ -280,11 +280,12 @@ def vel_smallbatch():
     """~5k env-steps per update (64 envs x 80 steps), the reference's
     per-update scale (VERDICT r3 next #7), so episodes-to-solve is
     commensurable with the reference's 1,935 ± 505
-    (logger_analyzer.py:51-97)."""
+    (logger_analyzer.py:51-97). Stacked: all 3 seeds in one program, with
+    eval-chunk scanning (the serial path dispatched every update)."""
     from autonomous_quadrotor_environment_tpu.apps import seed_study
 
     return seed_study.main([
-        "--seeds", "3", "--task", "velocity", "--num-envs", "64",
+        "--stacked", "--seeds", "3", "--task", "velocity", "--num-envs", "64",
         "--rollout-steps", "80", "--updates", "4000", "--eval-every", "20",
         "--out", "runs/seed_study_smallbatch",
     ])
@@ -313,10 +314,10 @@ if __name__ == "__main__":
     stage("u8_probe", "runs/r3/landing_u8.json", u8_probe, est_s=600)
     stage("landing_bsweep", "runs/r3/landing_bsweep.json", landing_bsweep, est_s=900)
     stage("landing_block_probe", "runs/r4/landing_block_probe.json", landing_block_probe, est_s=900)
-    stage("size_sweep", "runs/sweep/summary.json", size_sweep, est_s=3600)
+    stage("size_sweep", "runs/sweep/summary.json", size_sweep, est_s=1800)
     stage("robust256", "runs/ctrl_robust256/nn_final_256_0.msgpack", robust256, est_s=2400)
     stage("robust256_mix", "runs/ctrl_robust256_mix/nn_final_256_0.msgpack", robust256_mix, est_s=1200)
     stage("robust256_eval", "runs/ctrl_robust256_mix/eval.json", robust256_eval, est_s=600)
-    stage("vel_smallbatch", "runs/seed_study_smallbatch/summary.json", vel_smallbatch, est_s=1800)
+    stage("vel_smallbatch", "runs/seed_study_smallbatch/summary.json", vel_smallbatch, est_s=900)
     stage("classical_r4", "runs/classical_r4/summary.json", classical_r4, est_s=600)
     banner("ALL STAGES DONE")
