@@ -21,13 +21,19 @@ from .dp_landing import (
     make_landing_parallel_train_loop,
     make_landing_parallel_train_step,
 )
+from .multiseed import (
+    make_multiseed_parallel_train_loop,
+    multiseed_init_sharded,
+)
 
 __all__ = [
     "landing_ppo_init_sharded",
     "make_dp_mesh",
     "make_landing_parallel_train_loop",
     "make_landing_parallel_train_step",
+    "make_multiseed_parallel_train_loop",
     "make_parallel_train_loop",
     "make_parallel_train_step",
+    "multiseed_init_sharded",
     "ppo_init_sharded",
 ]

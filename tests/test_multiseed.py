@@ -93,6 +93,40 @@ def test_fused_configs_refused():
         )
 
 
+def test_seed_parallel_mesh_no_collectives():
+    """Seed axis sharded over the dp mesh: linear scaling by construction —
+    the compiled program must contain ZERO collectives (seed studies are
+    embarrassingly parallel, unlike the gradient-pmean dp trainer), and the
+    result must match the unsharded stacked loop."""
+    from autonomous_quadrotor_environment_tpu.agents import make_multiseed_train_loop
+    from autonomous_quadrotor_environment_tpu.parallel import (
+        make_dp_mesh,
+        make_multiseed_parallel_train_loop,
+        multiseed_init_sharded,
+    )
+
+    mesh = make_dp_mesh(8)
+    seeds = list(range(8))
+    model, tx, state = multiseed_init_sharded(seeds, ENV, PPO, TRAIN, mesh)
+    loop = make_multiseed_parallel_train_loop(model, tx, ENV, PPO, TRAIN, mesh, inner=2)
+    state2, metrics = loop(state)
+    assert metrics["loss"].shape == (2, len(seeds))
+    assert bool(jnp.all(jnp.isfinite(metrics["loss"])))
+    assert "dp" in str(jax.tree.leaves(state2.params)[0].sharding)
+    hlo = loop.lower(state).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "reduce-scatter", "all-to-all"):
+        assert op not in hlo, f"unexpected collective {op} in seed-parallel HLO"
+    _m, _t, s0 = multiseed_init(seeds, ENV, PPO, TRAIN)
+    ref_loop = jax.jit(make_multiseed_train_loop(model, tx, ENV, PPO, TRAIN, 2))
+    _ref, mref = ref_loop(s0)
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), np.asarray(mref["loss"]), rtol=1e-5
+    )
+    with pytest.raises(ValueError, match="shard evenly"):
+        multiseed_init_sharded([0, 1, 2], ENV, PPO, TRAIN, mesh)
+
+
 def test_seed_study_stacked_app(tmp_path):
     from autonomous_quadrotor_environment_tpu.apps import seed_study
 
