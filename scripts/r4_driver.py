@@ -291,6 +291,30 @@ def vel_smallbatch():
     ])
 
 
+# ---------------------------------------------------------------- stacked study
+def vel_stacked30():
+    """The full 30-seed velocity study as ONE compiled program
+    (agents/multiseed.py; the serial study took 17 min TPU in round 3,
+    runs/seed_study_vel). Measures the stacked wall clock on the same
+    task/shape — the headline demonstration of seed-vmapped training."""
+    import time as _time
+
+    from autonomous_quadrotor_environment_tpu.apps import seed_study
+
+    t0 = _time.time()
+    summary = seed_study.main([
+        "--stacked", "--seeds", "30", "--task", "velocity",
+        "--num-envs", "1024", "--rollout-steps", "128",
+        "--updates", "2000", "--eval-every", "10",
+        "--out", "runs/seed_study_vel_stacked",
+    ])
+    summary["wall_clock_s"] = round(_time.time() - t0, 1)
+    summary["serial_reference_s"] = 17 * 60  # round-3 serial study
+    with open("runs/seed_study_vel_stacked/summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
 # ---------------------------------------------------------------- classical
 def classical_r4():
     """Five-leg same-start comparison, now committing per-episode final
@@ -320,4 +344,5 @@ if __name__ == "__main__":
     stage("robust256_eval", "runs/ctrl_robust256_mix/eval.json", robust256_eval, est_s=600)
     stage("vel_smallbatch", "runs/seed_study_smallbatch/summary.json", vel_smallbatch, est_s=900)
     stage("classical_r4", "runs/classical_r4/summary.json", classical_r4, est_s=600)
+    stage("vel_stacked30", "runs/seed_study_vel_stacked/summary.json", vel_stacked30, est_s=900)
     banner("ALL STAGES DONE")
