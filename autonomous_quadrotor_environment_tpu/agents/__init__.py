@@ -2,6 +2,7 @@
 
 from .gae import gae_advantages
 from .multiseed import (
+    make_injectable_optimizer,
     make_multiseed_eval_fn,
     make_multiseed_train_loop,
     make_multiseed_train_step,
@@ -29,6 +30,7 @@ __all__ = [
     "evaluate",
     "gae_advantages",
     "make_eval_fn",
+    "make_injectable_optimizer",
     "make_multiseed_eval_fn",
     "make_multiseed_train_loop",
     "make_multiseed_train_step",

@@ -28,11 +28,29 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..config import EnvConfig, PPOConfig, TrainConfig
 from ..envs import hover
 from .networks import ActorCritic
 from .ppo import PPOTrainState, make_eval_fn, make_optimizer, make_train_step
+
+
+def make_injectable_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    """agents.ppo.make_optimizer with the learning rate carried in the
+    optimizer STATE (optax.inject_hyperparams) instead of baked into the
+    compiled program — per-replica learning rates then vmap like any other
+    leaf, turning an LR x seed grid into one stacked program (the
+    reference's lr_test burned a cluster job per cell,
+    training_log/lr_test/csv_reader_lr.py:18-74)."""
+
+    def factory(learning_rate):
+        tx = optax.adam(learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2)
+        if cfg.max_grad_norm > 0:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+        return tx
+
+    return optax.inject_hyperparams(factory)(learning_rate=cfg.lr)
 
 
 def multiseed_init(
@@ -41,24 +59,39 @@ def multiseed_init(
     ppo_cfg: PPOConfig,
     train_cfg: TrainConfig,
     obs_dim: int = 75,
+    lrs: Sequence[float] | None = None,
 ):
     """Stacked `PPOTrainState` with a leading seed axis on every leaf.
 
     Seed s's replica is constructed with the identical split order
     `agents.ppo.ppo_init(PRNGKey(s))` uses, so `seed_slice(state, i)`
-    equals the serial trainer's initial state for that seed."""
+    equals the serial trainer's initial state for that seed.
+
+    ``lrs`` (optional, same length as ``seeds``): per-replica learning
+    rates — the optimizer is then built with `make_injectable_optimizer`
+    so replica i trains at lrs[i]; this generalizes the seed study to
+    stacked hyperparameter sweeps (LR x seed grids in one program)."""
     model = ActorCritic(
         hidden=train_cfg.network_size,
         action_std=ppo_cfg.action_std,
         learn_std=ppo_cfg.learn_std,
     )
-    tx = make_optimizer(ppo_cfg)
+    if lrs is not None:
+        if len(lrs) != len(seeds):
+            raise ValueError(f"{len(lrs)} lrs for {len(seeds)} seeds")
+        tx = make_injectable_optimizer(ppo_cfg)
+    else:
+        tx = make_optimizer(ppo_cfg)
 
-    def init_one(seed):
+    def init_one(seed, lr):
         key = jax.random.PRNGKey(seed)
         k_model, k_envs, k_state = jax.random.split(key, 3)
         params = model.init(k_model, jnp.zeros((1, obs_dim)))
         opt_state = tx.init(params)
+        if lrs is not None:
+            opt_state = opt_state._replace(
+                hyperparams={**opt_state.hyperparams, "learning_rate": lr}
+            )
         env_states = jax.vmap(lambda k: hover.reset(k, env_cfg))(
             jax.random.split(k_envs, train_cfg.num_envs)
         )
@@ -72,7 +105,11 @@ def multiseed_init(
 
     # jit the stacked init: un-jitted vmap dispatches op-by-op over the
     # remote-TPU tunnel (CLAUDE.md rule; same reasoning as ppo_init).
-    state = jax.jit(jax.vmap(init_one))(jnp.asarray(list(seeds), jnp.int32))
+    state = jax.jit(jax.vmap(init_one))(
+        jnp.asarray(list(seeds), jnp.int32),
+        jnp.asarray(list(lrs) if lrs is not None else [0.0] * len(seeds),
+                    jnp.float32),
+    )
     return model, tx, state
 
 

@@ -82,6 +82,33 @@ def test_stacked_loop_shapes_and_progress():
     assert evals["eval_reward"].shape == (len(SEEDS),)
 
 
+def test_stacked_lr_grid_tracks_serial_lrs():
+    """Per-replica learning rates (optax.inject_hyperparams): a stacked
+    LR grid must match each serial run at that LR (reference lr_test ran
+    one cluster job per cell)."""
+    lrs = [1e-3, 1e-5]
+    model, tx, stacked = multiseed_init([0, 0], ENV, PPO, TRAIN, lrs=lrs)
+    multi_step = jax.jit(make_multiseed_train_step(model, tx, ENV, PPO, TRAIN))
+    stacked2, metrics = multi_step(stacked)
+    from autonomous_quadrotor_environment_tpu.config import PPOConfig as _PPO
+
+    for i, lr in enumerate(lrs):
+        cfg = _PPO(k_epochs=PPO.k_epochs, minibatch_size=0, lr=lr)
+        _m, _t2, serial = ppo_init(jax.random.PRNGKey(0), ENV, cfg, TRAIN)
+        from autonomous_quadrotor_environment_tpu.agents.ppo import make_optimizer
+
+        step = jax.jit(make_train_step(model, make_optimizer(cfg), ENV, cfg, TRAIN))
+        serial2, _ = step(serial)
+        tree_allclose(seed_slice(stacked2.params, i), serial2.params,
+                      rtol=1e-4, atol=1e-6)
+    # The two replicas must actually differ (the big-LR one moved more).
+    d0 = jax.tree.leaves(seed_slice(stacked2.params, 0))[0]
+    d1 = jax.tree.leaves(seed_slice(stacked2.params, 1))[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    with pytest.raises(ValueError, match="lrs for"):
+        multiseed_init([0, 1, 2], ENV, PPO, TRAIN, lrs=[1e-3])
+
+
 def test_fused_configs_refused():
     with pytest.raises(ValueError, match="multiseed"):
         make_multiseed_train_step(
