@@ -339,8 +339,10 @@ if __name__ == "__main__":
     stage("landing_bsweep", "runs/r3/landing_bsweep.json", landing_bsweep, est_s=900)
     stage("landing_block_probe", "runs/r4/landing_block_probe.json", landing_block_probe, est_s=900)
     stage("size_sweep", "runs/sweep/summary.json", size_sweep, est_s=1800)
-    stage("robust256", "runs/ctrl_robust256/nn_final_256_0.msgpack", robust256, est_s=2400)
-    stage("robust256_mix", "runs/ctrl_robust256_mix/nn_final_256_0.msgpack", robust256_mix, est_s=1200)
+    # est from the N=128 record: 4000 robust updates ran in 5.2 min
+    # (runs/ctrl_robust_r4 CSV, T hours 0.0873); N=256 ~2x.
+    stage("robust256", "runs/ctrl_robust256/nn_final_256_0.msgpack", robust256, est_s=900)
+    stage("robust256_mix", "runs/ctrl_robust256_mix/nn_final_256_0.msgpack", robust256_mix, est_s=600)
     stage("robust256_eval", "runs/ctrl_robust256_mix/eval.json", robust256_eval, est_s=600)
     stage("vel_smallbatch", "runs/seed_study_smallbatch/summary.json", vel_smallbatch, est_s=900)
     stage("classical_r4", "runs/classical_r4/summary.json", classical_r4, est_s=600)
