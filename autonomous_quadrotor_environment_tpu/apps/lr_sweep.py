@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rollout-steps", type=int, default=128)
     p.add_argument("--eval-every", type=int, default=5)
     p.add_argument("--out", type=str, default="runs/lr_sweep")
+    p.add_argument(
+        "--stacked", action="store_true",
+        help="train the entire LR x seed grid as ONE compiled program "
+        "(apps/stacked.py: per-cell learning rates ride the optimizer "
+        "state via optax.inject_hyperparams). Same per-cell PRNG streams, "
+        "CSV schema, and no-early-stop full curves as the serial path",
+    )
     return p
 
 
@@ -81,24 +88,22 @@ def plot_sweep(out_dir: str, size: int, lrs, seeds: int, eval_every: int) -> dic
     return summary
 
 
-def main(argv=None) -> dict:
-    args = build_parser().parse_args(argv)
-    lrs = [float(x) for x in args.lrs.split(",")]
-    os.makedirs(args.out, exist_ok=True)
-    rows_done = args.updates // args.eval_every  # full run => this many CSV rows
+def _incomplete_cells(args, lrs) -> list[tuple[float, int]]:
+    """Resumable: a run whose CSV already holds the full curve is skipped,
+    so a killed/stalled sweep restarts where it left off. Partial curves
+    restart clean — including the JSONL (JSONLLogger appends, so a stale
+    tail would read as one concatenated curve) and the in-progress
+    checkpoint."""
+    rows_done = args.updates // args.eval_every  # full run => this many rows
+    todo = []
     for lr in lrs:
         for s in seeds_range(lr, args.seeds):
-            # Resumable: a run whose CSV already holds the full curve is
-            # skipped, so a killed/stalled sweep restarts where it left off.
             csv_path = f"{args.out}/lr_{lr:g}/log_{args.size}_{s}.csv"
             if os.path.exists(csv_path):
                 with open(csv_path) as f:
                     if sum(1 for _ in f) - 1 >= rows_done:
                         print(f"===== lr {lr:g} seed {s} (done, skipping) =====")
                         continue
-                # Partial curve: restart the run clean — including the JSONL
-                # (JSONLLogger appends, so a stale tail would read as one
-                # concatenated curve) and the in-progress checkpoint.
                 os.remove(csv_path)
                 for stale in (
                     f"{args.out}/lr_{lr:g}/train_{args.size}_{s}.jsonl",
@@ -106,6 +111,44 @@ def main(argv=None) -> dict:
                 ):
                     if os.path.exists(stale):
                         os.remove(stale)
+            todo.append((lr, s))
+    return todo
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    lrs = [float(x) for x in args.lrs.split(",")]
+    os.makedirs(args.out, exist_ok=True)
+    todo = _incomplete_cells(args, lrs)
+    if args.stacked and todo:
+        from ..config import EnvConfig, PPOConfig, TrainConfig
+        from .stacked import StackedCell, run_stacked_study
+
+        print(f"===== stacked LR sweep: {len(todo)} cells in one program =====")
+        for lr, _s in todo:
+            os.makedirs(f"{args.out}/lr_{lr:g}/untrained_networks", exist_ok=True)
+        cells = [
+            StackedCell(
+                seed=s, lr=lr,
+                csv_path=f"{args.out}/lr_{lr:g}/log_{args.size}_{s}.csv",
+                jsonl_path=f"{args.out}/lr_{lr:g}/train_{args.size}_{s}.jsonl",
+                ckpt_path=f"{args.out}/lr_{lr:g}/untrained_networks/nn_{args.size}_{s}.msgpack",
+            )
+            for lr, s in todo
+        ]
+        run_stacked_study(
+            cells, EnvConfig(n_steps=1000), PPOConfig(),
+            TrainConfig(
+                num_envs=args.num_envs, rollout_steps=args.rollout_steps,
+                network_size=args.size, updates=args.updates,
+                eval_every=args.eval_every,
+            ),
+            updates=args.updates, eval_every=args.eval_every,
+            eval_episodes=40,
+            solved_threshold=1.1,  # never early-stop: full curves
+        )
+    else:
+        for lr, s in todo:
             print(f"===== lr {lr:g} seed {s} =====")
             train_control.main([
                 "--seed", str(s), "--size", str(args.size), "--lr", str(lr),

@@ -154,25 +154,12 @@ def _unsolved_seeds(args, seeds: list[int]) -> list[int]:
 
 
 def run_stacked(args, seeds: list[int]) -> None:
-    """The whole study as one compiled program (agents/multiseed.py):
-    chunks of --eval-every vmapped updates scanned in-program, a joint
-    per-seed eval after each chunk, per-seed CSV/JSONL rows in the
-    reference schema, early stop when every seed has solved."""
-    import math
-    import time
-    from datetime import datetime
-
-    import jax
-    import jax.numpy as jnp
-
-    from ..agents.multiseed import (
-        make_multiseed_eval_fn,
-        make_multiseed_train_loop,
-        multiseed_init,
-        seed_slice,
-    )
+    """The whole study as one compiled program (agents/multiseed.py via
+    apps/stacked.py): chunks of --eval-every vmapped updates scanned
+    in-program, a joint per-seed eval after each chunk, per-seed CSV/JSONL
+    rows in the reference schema, early stop when every seed has solved."""
     from ..config import EnvConfig, PPOConfig, TrainConfig
-    from ..utils import CSVLogger, JSONLLogger, TRAIN_LOG_HEADER, save_params
+    from .stacked import StackedCell, run_stacked_study
 
     vel_max = (
         (args.vel_target_max,) * 3 if args.task == "velocity" else (0.0, 0.0, 0.0)
@@ -184,74 +171,21 @@ def run_stacked(args, seeds: list[int]) -> None:
         network_size=args.size, updates=args.updates,
         eval_every=args.eval_every, eval_episodes=args.eval_episodes,
     )
-    model, tx, state = multiseed_init(seeds, env_cfg, ppo_cfg, train_cfg)
-    inner = max(math.gcd(args.eval_every, args.updates), 1)
-    loop = jax.jit(
-        make_multiseed_train_loop(model, tx, env_cfg, ppo_cfg, train_cfg, inner)
-    )
-    eval_multi = jax.jit(
-        make_multiseed_eval_fn(model, env_cfg, episodes=args.eval_episodes)
-    )
-    # Same eval-key discipline as train_control: fold_in(PRNGKey(seed), i).
-    base_keys = jax.jit(jax.vmap(jax.random.PRNGKey))(
-        jnp.asarray(seeds, jnp.int32)
-    )
-    fold_keys = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(0, None)))
-
-    csvs = {
-        s: CSVLogger(f"{args.out}/log_{args.size}_{s}.csv", TRAIN_LOG_HEADER)
+    cells = [
+        StackedCell(
+            seed=s,
+            csv_path=f"{args.out}/log_{args.size}_{s}.csv",
+            jsonl_path=f"{args.out}/train_{args.size}_{s}.jsonl",
+            ckpt_path=f"{args.out}/nn_final_{args.size}_{s}.msgpack",
+        )
         for s in seeds
-    }
-    jsonls = {s: JSONLLogger(f"{args.out}/train_{args.size}_{s}.jsonl") for s in seeds}
-    t0 = time.time()
-    total_steps = 0
-    total_eps_dev = None  # (S,) device-side accumulator
-    i = 0
-    while i < args.updates:
-        state, stacked = loop(state)
-        i += inner
-        chunk_eps = jnp.sum(stacked["episodes"], axis=0)
-        total_eps_dev = (
-            chunk_eps if total_eps_dev is None else total_eps_dev + chunk_eps
-        )
-        total_steps += inner * args.num_envs * args.rollout_steps
-        evals = eval_multi(state.params, fold_keys(base_keys, i))
-        evals = {k: [float(x) for x in v] for k, v in evals.items()}
-        eps_host = [int(x) for x in total_eps_dev]
-        hours = (time.time() - t0) / 3600.0
-        now = datetime.now()
-        for idx, s in enumerate(seeds):
-            csvs[s].append({
-                "LR": ppo_cfg.lr, "Max timesteps": env_cfg.n_steps,
-                "Update timesteps": args.num_envs * args.rollout_steps,
-                "K epochs": ppo_cfg.k_epochs,
-                "Eval episodes": args.eval_episodes, "Std": ppo_cfg.action_std,
-                "Date": now.strftime("%d/%m/%Y"),
-                "Time": now.strftime("%H:%M:%S"), "Training Count": i,
-                "T hours": round(hours, 4),
-                "Reward avg": evals["eval_reward"][idx],
-                "Solved avg": evals["eval_solved"][idx],
-                "Time avg": evals["eval_length"][idx],
-                "Total Episodes": eps_host[idx],
-                "Total Timesteps": total_steps,
-                "ETF": round(hours / i * (args.updates - i), 4),
-            })
-            jsonls[s].log(update=i, **{k: v[idx] for k, v in evals.items()})
-        n_solved = sum(
-            v >= args.solved_threshold for v in evals["eval_solved"]
-        )
-        print(
-            f"update {i:5d}  solved {n_solved}/{len(seeds)} seeds  "
-            f"reward {min(evals['eval_reward']):.1f}..{max(evals['eval_reward']):.1f}  "
-            f"steps/s {len(seeds) * total_steps / (time.time() - t0):9.0f}"
-        )
-        if n_solved == len(seeds):
-            break
-    for idx, s in enumerate(seeds):
-        save_params(
-            f"{args.out}/nn_final_{args.size}_{s}.msgpack",
-            seed_slice(state.params, idx),
-        )
+    ]
+    run_stacked_study(
+        cells, env_cfg, ppo_cfg, train_cfg,
+        updates=args.updates, eval_every=args.eval_every,
+        eval_episodes=args.eval_episodes,
+        solved_threshold=args.solved_threshold,
+    )
 
 
 def main(argv=None) -> dict:

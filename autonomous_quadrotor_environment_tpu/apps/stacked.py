@@ -1,0 +1,127 @@
+"""Generic stacked-study runner: N training cells as ONE compiled program.
+
+Shared engine for `seed_study --stacked` (seed axis) and `lr_sweep
+--stacked` (LR x seed grid; per-cell learning rates ride the optimizer
+state via agents.multiseed.make_injectable_optimizer). The reference ran
+every such cell as its own cluster job (slurm_output/,
+training_log/lr_test/); here the cell axis is a vmap batch axis
+(agents/multiseed.py) and each cell keeps its own CSV/JSONL in the
+reference's 16-column schema (utils/metrics.TRAIN_LOG_HEADER), so all
+downstream analyzers work unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+
+from ..agents.multiseed import (
+    make_multiseed_eval_fn,
+    make_multiseed_train_loop,
+    multiseed_init,
+    seed_slice,
+)
+from ..config import EnvConfig, PPOConfig, TrainConfig
+from ..utils import CSVLogger, JSONLLogger, TRAIN_LOG_HEADER, save_params
+
+
+@dataclass(frozen=True)
+class StackedCell:
+    """One training run in the stacked program."""
+
+    seed: int
+    csv_path: str
+    jsonl_path: str
+    ckpt_path: str
+    lr: float | None = None  # None = PPOConfig.lr for every cell
+
+
+def run_stacked_study(
+    cells: list[StackedCell],
+    env_cfg: EnvConfig,
+    ppo_cfg: PPOConfig,
+    train_cfg: TrainConfig,
+    updates: int,
+    eval_every: int,
+    eval_episodes: int,
+    solved_threshold: float,
+) -> None:
+    """Train every cell simultaneously: chunks of `eval_every` vmapped
+    updates scanned in-program, a joint per-cell eval after each chunk,
+    per-cell CSV/JSONL rows, early stop when every cell clears
+    `solved_threshold` (use >1 for never, e.g. full LR-sweep curves)."""
+    seeds = [c.seed for c in cells]
+    lrs = [c.lr for c in cells]
+    if any(lr is not None for lr in lrs):
+        if any(lr is None for lr in lrs):
+            raise ValueError("either every cell sets lr or none does")
+    else:
+        lrs = None
+    model, tx, state = multiseed_init(
+        seeds, env_cfg, ppo_cfg, train_cfg, lrs=lrs
+    )
+    inner = max(math.gcd(eval_every, updates), 1)
+    loop = jax.jit(
+        make_multiseed_train_loop(model, tx, env_cfg, ppo_cfg, train_cfg, inner)
+    )
+    eval_multi = jax.jit(
+        make_multiseed_eval_fn(model, env_cfg, episodes=eval_episodes)
+    )
+    # Same eval-key discipline as train_control: fold_in(PRNGKey(seed), i).
+    base_keys = jax.jit(jax.vmap(jax.random.PRNGKey))(
+        jnp.asarray(seeds, jnp.int32)
+    )
+    fold_keys = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(0, None)))
+
+    csvs = [CSVLogger(c.csv_path, TRAIN_LOG_HEADER) for c in cells]
+    jsonls = [JSONLLogger(c.jsonl_path) for c in cells]
+    t0 = time.time()
+    total_steps = 0
+    total_eps_dev = None  # (S,) device-side accumulator
+    i = 0
+    while i < updates:
+        state, stacked = loop(state)
+        i += inner
+        chunk_eps = jnp.sum(stacked["episodes"], axis=0)
+        total_eps_dev = (
+            chunk_eps if total_eps_dev is None else total_eps_dev + chunk_eps
+        )
+        total_steps += inner * train_cfg.num_envs * train_cfg.rollout_steps
+        evals = eval_multi(state.params, fold_keys(base_keys, i))
+        evals = {k: [float(x) for x in v] for k, v in evals.items()}
+        eps_host = [int(x) for x in total_eps_dev]
+        hours = (time.time() - t0) / 3600.0
+        now = datetime.now()
+        for idx, c in enumerate(cells):
+            csvs[idx].append({
+                "LR": c.lr if c.lr is not None else ppo_cfg.lr,
+                "Max timesteps": env_cfg.n_steps,
+                "Update timesteps": train_cfg.num_envs * train_cfg.rollout_steps,
+                "K epochs": ppo_cfg.k_epochs,
+                "Eval episodes": eval_episodes, "Std": ppo_cfg.action_std,
+                "Date": now.strftime("%d/%m/%Y"),
+                "Time": now.strftime("%H:%M:%S"), "Training Count": i,
+                "T hours": round(hours, 4),
+                "Reward avg": evals["eval_reward"][idx],
+                "Solved avg": evals["eval_solved"][idx],
+                "Time avg": evals["eval_length"][idx],
+                "Total Episodes": eps_host[idx],
+                "Total Timesteps": total_steps,
+                "ETF": round(hours / i * (updates - i), 4),
+            })
+            jsonls[idx].log(update=i, **{k: v[idx] for k, v in evals.items()})
+        n_solved = sum(v >= solved_threshold for v in evals["eval_solved"])
+        print(
+            f"update {i:5d}  solved {n_solved}/{len(cells)} cells  "
+            f"reward {min(evals['eval_reward']):.1f}..{max(evals['eval_reward']):.1f}  "
+            f"steps/s {len(cells) * total_steps / (time.time() - t0):9.0f}"
+        )
+        if n_solved == len(cells):
+            break
+    for idx, c in enumerate(cells):
+        save_params(c.ckpt_path, seed_slice(state.params, idx))

@@ -174,3 +174,35 @@ def test_seed_study_stacked_app(tmp_path):
     assert os.path.exists(f"{out}/summary.json")
     with open(f"{out}/summary.json") as f:
         json.load(f)
+
+
+def test_lr_sweep_stacked_app(tmp_path):
+    """The LR x seed grid as one program (apps/stacked.py cells carrying
+    per-cell lrs); CSVs land in the per-LR subdirs the serial path and the
+    analyzers expect, with the cell's own LR in the LR column."""
+    from autonomous_quadrotor_environment_tpu.apps import lr_sweep
+
+    out = str(tmp_path / "lr")
+    summary = lr_sweep.main([
+        "--stacked", "--lrs", "1e-3,1e-5", "--seeds", "2", "--size", "16",
+        "--updates", "4", "--eval-every", "2", "--num-envs", "8",
+        "--rollout-steps", "8", "--out", out,
+    ])
+    assert set(summary) == {"0.001", "1e-05"}
+    import csv as _csv
+
+    for lr in ("0.001", "1e-05"):
+        for s in (0, 1):
+            path = f"{out}/lr_{lr}/log_16_{s}.csv"
+            assert os.path.exists(path), path
+            with open(path) as f:
+                rows = list(_csv.DictReader(f))
+            assert len(rows) == 2
+            assert float(rows[0]["LR"]) == float(lr)
+    # Resume: a second stacked invocation must skip every completed cell.
+    summary2 = lr_sweep.main([
+        "--stacked", "--lrs", "1e-3,1e-5", "--seeds", "2", "--size", "16",
+        "--updates", "4", "--eval-every", "2", "--num-envs", "8",
+        "--rollout-steps", "8", "--out", out,
+    ])
+    assert set(summary2) == set(summary)
