@@ -97,6 +97,18 @@ def main():
     else:
         print("  MISSING")
 
+    print("== stacked 30-seed velocity study (runs/seed_study_vel_stacked/summary.json)")
+    st = load("runs/seed_study_vel_stacked/summary.json")
+    if st:
+        print(f"  solved {st.get('solved_seeds')}/{st.get('seeds')} in "
+              f"{st.get('wall_clock_s', '?')}s wall "
+              f"(serial round-3 study: {st.get('serial_reference_s', 1020)}s; "
+              f"reference: one SLURM job per seed)")
+        print(f"  episodes-to-solve {st.get('episodes_to_solve_mean')} "
+              f"± {st.get('episodes_to_solve_std')}")
+    else:
+        print("  MISSING")
+
     print("== classical r4 (runs/classical_r4/summary.json)")
     cl = load("runs/classical_r4/summary.json")
     if cl:
