@@ -176,6 +176,40 @@ def test_seed_study_stacked_app(tmp_path):
         json.load(f)
 
 
+def test_stacked_study_matches_train_control_csv(tmp_path):
+    """End-to-end cross-check: one seed trained via seed_study --stacked
+    must reproduce the serial train_control app's CSV evals (same PRNG
+    streams, same fold_in eval keys) to f32 tolerance."""
+    from autonomous_quadrotor_environment_tpu.apps import seed_study, train_control
+
+    serial_out = str(tmp_path / "serial")
+    train_control.main([
+        "--seed", "0", "--size", "16", "--updates", "4", "--num-envs", "8",
+        "--rollout-steps", "8", "--eval-every", "2", "--eval-episodes", "4",
+        "--out", serial_out,
+    ])
+    stacked_out = str(tmp_path / "stacked")
+    seed_study.main([
+        "--stacked", "--seeds", "1", "--size", "16", "--updates", "4",
+        "--eval-every", "2", "--num-envs", "8", "--rollout-steps", "8",
+        "--eval-episodes", "4", "--out", stacked_out,
+    ])
+    import csv as _csv
+
+    def evals(path):
+        with open(path) as f:
+            return [(int(r["Training Count"]), float(r["Reward avg"]),
+                     int(r["Total Episodes"])) for r in _csv.DictReader(f)]
+
+    serial = evals(f"{serial_out}/log_16_0.csv")
+    stacked = evals(f"{stacked_out}/log_16_0.csv")
+    assert len(serial) == len(stacked) == 2
+    for (su, sr, se), (tu, tr, te) in zip(serial, stacked):
+        assert su == tu
+        assert se == te
+        np.testing.assert_allclose(sr, tr, rtol=1e-4)
+
+
 def test_lr_sweep_stacked_app(tmp_path):
     """The LR x seed grid as one program (apps/stacked.py cells carrying
     per-cell lrs); CSVs land in the per-LR subdirs the serial path and the
