@@ -167,22 +167,6 @@ def landing_block_probe():
 
 
 # ---------------------------------------------------------------- sweep
-def _sweep_run_done(csv_path: str) -> bool:
-    """A sweep run is complete if its CSV ended solved (>=0.95) or ran the
-    full update budget."""
-    if not os.path.exists(csv_path):
-        return False
-    import csv as _csv
-
-    with open(csv_path) as f:
-        rows = list(_csv.DictReader(f))
-    if not rows:
-        return False
-    if any(float(r["Solved avg"]) >= 0.95 for r in rows):
-        return True
-    return int(rows[-1]["Training Count"]) >= SWEEP_UPDATES
-
-
 def size_sweep():
     """The reference's headline experiment at the reference's scope
     (VERDICT r3 missing #1): 5 sizes x 4 seeds, early stop at solved, with
@@ -190,49 +174,37 @@ def size_sweep():
     csv_reader.py:17-69).
 
     Each size trains its remaining seeds STACKED — one compiled program via
-    agents/multiseed.py (seed_study.run_stacked) — so a size costs ~one
-    run's wall clock instead of four. Resumable per (size, seed): solved or
+    apps/size_sweep.py + apps/stacked.py — so a size costs ~one run's wall
+    clock instead of four. Resumable per (size, seed): solved or
     full-budget CSVs are kept, partial ones retrain."""
-    import argparse
+    from autonomous_quadrotor_environment_tpu.apps import size_sweep as sweep_app
 
-    from autonomous_quadrotor_environment_tpu.apps import seed_study
-
+    base_argv = [
+        "--stacked", "--updates", str(SWEEP_UPDATES),
+        "--eval-every", str(SWEEP_EVAL_EVERY), "--out", "runs/sweep",
+        "--seeds", str(len(SWEEP_SEEDS)),
+    ]
+    args = sweep_app.build_parser().parse_args(base_argv)
     for size in SWEEP_SIZES:
         todo = [s for s in SWEEP_SEEDS
-                if not _sweep_run_done(f"runs/sweep/log_{size}_{s}.csv")]
+                if not sweep_app.run_done(f"runs/sweep/log_{size}_{s}.csv",
+                                          SWEEP_UPDATES, 0.95)]
         if not todo:
             print(f"(sweep size={size}: all seeds complete, skipping)", flush=True)
             continue
         if remaining_s() < 900:
             print("(sweep: deadline margin reached, stopping)", flush=True)
             return
-        for seed in todo:
-            for stale in (f"runs/sweep/log_{size}_{seed}.csv",
-                          f"runs/sweep/train_{size}_{seed}.jsonl"):
-                if os.path.exists(stale):
-                    os.remove(stale)
         banner(f"sweep size={size} seeds={todo} (stacked)")
         # Re-arm the stage watchdog per size: a stacked size is a few
         # minutes and individually resumable, so a mid-sweep tunnel wedge
         # costs <=30 min, not the whole-stage 2*est+900 budget.
         signal.alarm(1800)
-        args = argparse.Namespace(
-            out="runs/sweep", size=size, updates=SWEEP_UPDATES,
-            num_envs=256, rollout_steps=32, eval_every=SWEEP_EVAL_EVERY,
-            eval_episodes=40, solved_threshold=0.95,
-            task="hover", vel_target_max=1.0,
-        )
-        seed_study.run_stacked(args, todo)
-    # Aggregate + band figure (reference csv_reader.py:17-69 analog).
+        sweep_app.sweep_size(args, size, todo)
+    # Aggregate + band figure (reference csv_reader.py:17-69 analog) —
+    # sweep_app.main skips every completed run and writes figure + summary.
     signal.alarm(900)
-    from autonomous_quadrotor_environment_tpu.analysis.plots import sweep_band_figure
-
-    summary = sweep_band_figure(
-        "runs/sweep", list(SWEEP_SIZES), list(SWEEP_SEEDS),
-        "docs/size_sweep_reward.png",
-    )
-    with open("runs/sweep/summary.json", "w") as f:
-        json.dump(summary, f, indent=2)
+    sweep_app.main(base_argv)
 
 
 # ---------------------------------------------------------------- robust 256

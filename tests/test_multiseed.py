@@ -210,6 +210,28 @@ def test_stacked_study_matches_train_control_csv(tmp_path):
         np.testing.assert_allclose(sr, tr, rtol=1e-4)
 
 
+def test_size_sweep_stacked_app(tmp_path):
+    """One-command reproduction of the reference's headline experiment:
+    per-size stacked seeds, band figure, per-size aggregates, and
+    skip-complete resume."""
+    from autonomous_quadrotor_environment_tpu.apps import size_sweep
+
+    out = str(tmp_path / "sweep")
+    argv = [
+        "--stacked", "--sizes", "16", "--seeds", "2", "--updates", "4",
+        "--eval-every", "2", "--num-envs", "8", "--rollout-steps", "8",
+        "--eval-episodes", "4", "--out", out, "--figure", f"{out}/band.png",
+    ]
+    summary = size_sweep.main(argv)
+    assert summary["16"]["seeds"] == 2
+    assert os.path.exists(f"{out}/band.png")
+    for s in (0, 1):
+        assert os.path.exists(f"{out}/log_16_{s}.csv")
+    # Resume: everything complete -> all skipped, summary still produced.
+    summary2 = size_sweep.main(argv)
+    assert summary2["16"] == summary["16"]
+
+
 def test_lr_sweep_stacked_app(tmp_path):
     """The LR x seed grid as one program (apps/stacked.py cells carrying
     per-cell lrs); CSVs land in the per-LR subdirs the serial path and the
