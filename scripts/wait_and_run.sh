@@ -30,10 +30,10 @@ fi
 cd /root/repo
 # Exponential backoff between failed probes: the round-2 postmortem says the
 # tunnel needs IDLE time to recover (10-25 min observed), so a fixed 5-min
-# cadence can plausibly keep re-wedging it forever. Gap grows 300 -> 1800 s
+# cadence can plausibly keep re-wedging it forever. Gap grows 300 -> 900 s
 # across consecutive failures and resets on success.
 GAP=300
-MAXGAP=1800
+MAXGAP=900
 while true; do
   now=$(date +%s)
   if [ $((now + MARGIN)) -ge "$DEADLINE" ]; then
