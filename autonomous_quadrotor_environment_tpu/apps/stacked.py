@@ -53,8 +53,13 @@ def run_stacked_study(
 ) -> None:
     """Train every cell simultaneously: chunks of `eval_every` vmapped
     updates scanned in-program, a joint per-cell eval after each chunk,
-    per-cell CSV/JSONL rows, early stop when every cell clears
-    `solved_threshold` (use >1 for never, e.g. full LR-sweep curves)."""
+    per-cell CSV/JSONL rows, early stop when every cell has cleared
+    `solved_threshold` at SOME eval (latched per cell, matching the serial
+    path's per-seed early stop — requiring all cells to clear it at the
+    same eval made the stop a coin-flip against eval noise once every cell
+    hovers near the threshold; use >1 for never, e.g. full LR-sweep
+    curves). Checkpoints are the FINAL state either way; episodes-to-solve
+    analyzers read the first-clearing eval from the CSV."""
     seeds = [c.seed for c in cells]
     lrs = [c.lr for c in cells]
     if any(lr is not None for lr in lrs):
@@ -80,6 +85,7 @@ def run_stacked_study(
 
     csvs = [CSVLogger(c.csv_path, TRAIN_LOG_HEADER) for c in cells]
     jsonls = [JSONLLogger(c.jsonl_path) for c in cells]
+    solved = [False] * len(cells)
     t0 = time.time()
     total_steps = 0
     total_eps_dev = None  # (S,) device-side accumulator
@@ -115,7 +121,9 @@ def run_stacked_study(
                 "ETF": round(hours / i * (updates - i), 4),
             })
             jsonls[idx].log(update=i, **{k: v[idx] for k, v in evals.items()})
-        n_solved = sum(v >= solved_threshold for v in evals["eval_solved"])
+        for idx, v in enumerate(evals["eval_solved"]):
+            solved[idx] = solved[idx] or v >= solved_threshold
+        n_solved = sum(solved)
         print(
             f"update {i:5d}  solved {n_solved}/{len(cells)} cells  "
             f"reward {min(evals['eval_reward']):.1f}..{max(evals['eval_reward']):.1f}  "

@@ -161,7 +161,17 @@ def bench_landing(platform: str) -> list[dict]:
 
     num_envs, rollout = (128, 24) if platform == "tpu" else (8, 4)
     cfgs = LandingConfigs.default(training=True)
+    # shuffle_block = minibatch (1536): the per-minibatch image gather
+    # degenerates into a contiguous slice (landing/ppo.py:276-299) — the
+    # round-3 profile's ~42 ms gather stream disappears, 24.3k -> 40.3k
+    # decisions/s (runs/r4/landing_block_probe.json). The fixed-minibatch
+    # semantics are quality-gated in runs/r4/landing_block_quality.json
+    # (same-seed learn curves within 0.05 of the shuffled reference).
     ppo_cfg = PPOConfig.landing_variant()
+    if platform == "tpu":
+        import dataclasses
+
+        ppo_cfg = dataclasses.replace(ppo_cfg, shuffle_block=1536)
     ctrl = ActorCritic(hidden=128)
     tmpl = ctrl.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
     fixture = os.path.join(
@@ -187,14 +197,17 @@ def bench_landing(platform: str) -> list[dict]:
     loop = jax.jit(
         make_landing_train_loop(
             model, tx, cfgs, ppo_cfg, ctrl, ctrl_params, rollout, n_iters,
-            image_dtype=jnp.bfloat16 if mixed else None,
+            # uint8 image storage: quality gate runs/r3/landing_u8.json
+            # (learn-curve drift ~0.02); at block 1536 it edges bf16 and
+            # quarters the rollout buffer (runs/r4/landing_block_probe.json).
+            image_dtype=jnp.uint8 if mixed else None,
         )
     )
     compiled = (
         jax.jit(
             make_landing_train_step(
                 model, tx, cfgs, ppo_cfg, ctrl, ctrl_params, rollout,
-                image_dtype=jnp.bfloat16 if mixed else None,
+                image_dtype=jnp.uint8 if mixed else None,
             )
         )
         .lower(state)
