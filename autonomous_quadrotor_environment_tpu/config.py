@@ -294,13 +294,26 @@ class PPOConfig:
 
     @staticmethod
     def landing_variant() -> "PPOConfig":
-        """Visual-landing PPO (reference ppo_trainer.py:28-38, :122)."""
+        """Visual-landing PPO (reference ppo_trainer.py:28-38, :122).
+
+        shuffle_block == minibatch_size (1536) is the shipped default: the
+        per-epoch minibatch image gather degenerates into a contiguous
+        slice (landing/ppo.py), 24.8k -> 42.0k decisions/s on TPU
+        (runs/r4/landing_block_probe.json). NOTE the semantics change vs
+        the reference's per-row randperm (ppo_trainer.py:188-197): with
+        block == minibatch only the ORDER of two fixed minibatches
+        permutes per epoch ("frozen-composition" minibatch PPO). Gated by
+        same-seed learning curves (runs/r4/landing_block_quality.json) and
+        re-certified by a full from-scratch training run to the official
+        100-episode benchmark in round 5 (runs/r5/).
+        """
         return PPOConfig(
             lr=2e-5,
             k_epochs=5,
             minibatch_size=1536,
             entropy_coef=0.01,
             learn_std=True,
+            shuffle_block=1536,
         )
 
 

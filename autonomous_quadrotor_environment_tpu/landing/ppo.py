@@ -268,6 +268,20 @@ def make_landing_train_step(
         if n % block != 0 or mb % block != 0:
             block = 1
         full_batch = n_mb == 1 and mb >= n
+        if not full_batch and block == mb:
+            # ADVICE r4: with block == minibatch the per-row shuffle
+            # degenerates to FIXED minibatch compositions whose order
+            # permutes per epoch — a semantics change vs the reference's
+            # per-row randperm (ppo_trainer.py:188-197) that makes the
+            # gather a contiguous slice (the 42k dec/s mode). Gated at
+            # 128x24/mb=1536 (runs/r4/landing_block_quality.json +
+            # round-5 from-scratch retrain); other geometries hitting this
+            # path inherit the semantics — hence this trace-time notice.
+            print(
+                f"landing PPO: shuffle_block == minibatch ({mb}) -> frozen "
+                "minibatch composition (only block order permutes per epoch)",
+                flush=True,
+            )
 
         def epoch(carry, epoch_key):
             params, opt_state = carry

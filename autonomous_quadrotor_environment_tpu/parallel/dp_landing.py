@@ -30,15 +30,19 @@ def landing_ppo_init_sharded(
     ctrl_model,
     ctrl_params,
     mesh: Mesh,
+    conv_dtype=jnp.float32,
 ):
-    """Global batch `num_envs` sharded over the mesh's dp axis."""
+    """Global batch `num_envs` sharded over the mesh's dp axis.
+
+    `conv_dtype` mirrors landing_ppo_init's mixed-precision knob (bf16 conv
+    compute, f32 params/loss — the shipped trainer default)."""
     import optax
 
     n_dp = mesh.shape["dp"]
     if num_envs % n_dp != 0:
         raise ValueError(f"num_envs={num_envs} not divisible by dp={n_dp}")
 
-    model = LandingActorCritic(action_std=ppo_cfg.action_std)
+    model = LandingActorCritic(action_std=ppo_cfg.action_std, dtype=conv_dtype)
     k_model, k_envs, k_state = jax.random.split(key, 3)
     params = model.init(
         k_model, jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)), jnp.zeros((1, 3))
@@ -89,11 +93,15 @@ def make_landing_parallel_train_step(
     ctrl_params,
     rollout_steps: int,
     mesh: Mesh,
+    reset_pool: int = 2,
+    image_dtype=None,
 ):
     step = make_landing_train_step(
         model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, rollout_steps,
         grad_reduce=lambda g: jax.lax.pmean(g, "dp"),
         metric_reduce=lambda m: jax.lax.pmean(m, "dp"),
+        reset_pool=reset_pool,
+        image_dtype=image_dtype,
     )
     spec = _landing_state_spec()
 
@@ -123,13 +131,16 @@ def make_landing_parallel_train_loop(
     rollout_steps: int,
     mesh: Mesh,
     inner: int,
+    reset_pool: int = 2,
+    image_dtype=None,
 ):
     """`inner` dp landing train steps scanned into ONE jitted program (see
     agents.make_train_loop / parallel.make_parallel_train_loop): host
     dispatch is paid once per `inner` updates, per-update metrics come back
     as stacked rows."""
     step = make_landing_parallel_train_step(
-        model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, rollout_steps, mesh
+        model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, rollout_steps, mesh,
+        reset_pool=reset_pool, image_dtype=image_dtype,
     )
 
     def loop(state):

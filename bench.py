@@ -161,17 +161,17 @@ def bench_landing(platform: str) -> list[dict]:
 
     num_envs, rollout = (128, 24) if platform == "tpu" else (8, 4)
     cfgs = LandingConfigs.default(training=True)
-    # shuffle_block = minibatch (1536): the per-minibatch image gather
-    # degenerates into a contiguous slice (landing/ppo.py:276-299) — the
-    # round-3 profile's ~42 ms gather stream disappears, 24.3k -> 40.3k
-    # decisions/s (runs/r4/landing_block_probe.json). The fixed-minibatch
-    # semantics are quality-gated in runs/r4/landing_block_quality.json
-    # (same-seed learn curves within 0.05 of the shuffled reference).
+    # PPOConfig.landing_variant() now carries shuffle_block = minibatch
+    # (1536) as the PRODUCT default (round 5; was bench-only in round 4):
+    # the per-minibatch image gather degenerates into a contiguous slice
+    # (landing/ppo.py) — the round-3 profile's ~42 ms gather stream
+    # disappears, 24.3k -> 40.3k decisions/s
+    # (runs/r4/landing_block_probe.json). The fixed-minibatch semantics are
+    # quality-gated in runs/r4/landing_block_quality.json and re-certified
+    # by the round-5 from-scratch retrain to the official benchmark
+    # (runs/r5/). This bench therefore measures exactly what
+    # `apps/train_landing.py` runs with no flags.
     ppo_cfg = PPOConfig.landing_variant()
-    if platform == "tpu":
-        import dataclasses
-
-        ppo_cfg = dataclasses.replace(ppo_cfg, shuffle_block=1536)
     ctrl = ActorCritic(hidden=128)
     tmpl = ctrl.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
     fixture = os.path.join(
@@ -180,9 +180,10 @@ def bench_landing(platform: str) -> list[dict]:
     )
     ctrl_params = load_params(fixture, tmpl)
 
-    # bf16 conv compute + bf16-stored rollout images: +7% decisions/s with
-    # benchmark-identical fixture eval and a matching learning curve
-    # (runs/r3/landing_opt.json quality gates); params/loss math stay f32.
+    # bf16 conv compute + uint8-stored rollout images — the shipped
+    # train_landing defaults (--conv-dtype bf16 --image-dtype uint8);
+    # quality gates runs/r3/landing_opt.json + runs/r3/landing_u8.json;
+    # params/loss math stay f32.
     mixed = platform == "tpu"
     model, tx, state = landing_ppo_init(
         jax.random.PRNGKey(0), cfgs, ppo_cfg, num_envs, ctrl, ctrl_params,

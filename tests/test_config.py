@@ -99,6 +99,10 @@ def test_ppo_hyperparameters():
     # reference ppo_trainer.py:28-38
     assert lp.lr == 2e-5 and lp.k_epochs == 5 and lp.minibatch_size == 1536
     assert lp.entropy_coef == 0.01 and lp.learn_std
+    # round-5 product default: shuffle_block == minibatch (the contiguous-
+    # slice fast path; frozen minibatch composition, gated in
+    # runs/r4/landing_block_quality.json + the r5 retrain)
+    assert lp.shuffle_block == lp.minibatch_size == 1536
 
 
 def test_landing_reward_thresholds():
