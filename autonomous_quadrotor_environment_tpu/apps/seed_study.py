@@ -171,12 +171,16 @@ def run_stacked(args, seeds: list[int]) -> None:
         network_size=args.size, updates=args.updates,
         eval_every=args.eval_every, eval_episodes=args.eval_episodes,
     )
+    os.makedirs(f"{args.out}/solved", exist_ok=True)
     cells = [
         StackedCell(
             seed=s,
             csv_path=f"{args.out}/log_{args.size}_{s}.csv",
             jsonl_path=f"{args.out}/train_{args.size}_{s}.jsonl",
             ckpt_path=f"{args.out}/nn_final_{args.size}_{s}.msgpack",
+            # save-at-solve snapshot, same layout as the serial
+            # train_control path ({out}/solved/nn_solved_{size}_{seed})
+            solved_ckpt_path=f"{args.out}/solved/nn_solved_{args.size}_{s}.msgpack",
         )
         for s in seeds
     ]

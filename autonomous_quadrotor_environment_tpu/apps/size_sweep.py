@@ -67,12 +67,15 @@ def sweep_size(args, size: int, todo: list[int]) -> None:
         from ..config import EnvConfig, PPOConfig, TrainConfig
         from .stacked import StackedCell, run_stacked_study
 
+        os.makedirs(f"{args.out}/solved", exist_ok=True)
         cells = [
             StackedCell(
                 seed=s,
                 csv_path=f"{args.out}/log_{size}_{s}.csv",
                 jsonl_path=f"{args.out}/train_{size}_{s}.jsonl",
                 ckpt_path=f"{args.out}/nn_final_{size}_{s}.msgpack",
+                # save-at-solve snapshot (serial train_control layout)
+                solved_ckpt_path=f"{args.out}/solved/nn_solved_{size}_{s}.msgpack",
             )
             for s in todo
         ]

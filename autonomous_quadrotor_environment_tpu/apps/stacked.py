@@ -39,6 +39,11 @@ class StackedCell:
     jsonl_path: str
     ckpt_path: str
     lr: float | None = None  # None = PPOConfig.lr for every cell
+    # Save-at-solve checkpoint (reference ppo.py:428-429 -> solved/): the
+    # cell's params are saved here at the FIRST eval that clears
+    # solved_threshold, matching the serial train_control path. None =
+    # no solve snapshot (e.g. full LR-sweep curves that never early-stop).
+    solved_ckpt_path: str | None = None
 
 
 def run_stacked_study(
@@ -58,8 +63,12 @@ def run_stacked_study(
     path's per-seed early stop — requiring all cells to clear it at the
     same eval made the stop a coin-flip against eval noise once every cell
     hovers near the threshold; use >1 for never, e.g. full LR-sweep
-    curves). Checkpoints are the FINAL state either way; episodes-to-solve
-    analyzers read the first-clearing eval from the CSV."""
+    curves). A cell's params are snapshotted to its `solved_ckpt_path` at
+    its FIRST latching eval (the reference's save-at-solve semantics,
+    ppo.py:428-429; VERDICT r4 missing #3 — previously a cell that solved
+    then degraded shipped only the degraded final state). `ckpt_path`
+    still gets the FINAL state; episodes-to-solve analyzers read the
+    first-clearing eval from the CSV."""
     seeds = [c.seed for c in cells]
     lrs = [c.lr for c in cells]
     if any(lr is not None for lr in lrs):
@@ -122,7 +131,15 @@ def run_stacked_study(
             })
             jsonls[idx].log(update=i, **{k: v[idx] for k, v in evals.items()})
         for idx, v in enumerate(evals["eval_solved"]):
-            solved[idx] = solved[idx] or v >= solved_threshold
+            if v >= solved_threshold and not solved[idx]:
+                solved[idx] = True
+                if cells[idx].solved_ckpt_path:
+                    # Save-at-solve: this cell's params AT the latching
+                    # eval, before any later degradation.
+                    save_params(
+                        cells[idx].solved_ckpt_path,
+                        seed_slice(state.params, idx),
+                    )
         n_solved = sum(solved)
         print(
             f"update {i:5d}  solved {n_solved}/{len(cells)} cells  "

@@ -262,3 +262,72 @@ def test_lr_sweep_stacked_app(tmp_path):
         "--rollout-steps", "8", "--out", out,
     ])
     assert set(summary2) == set(summary)
+
+
+def test_stacked_save_at_solve_snapshots_first_latching_eval(tmp_path, monkeypatch):
+    """run_stacked_study must save a cell's params AT its first latching
+    eval (the reference's save-at-solve semantics, ppo.py:428-429;
+    VERDICT r4 missing #3), not the final state it later degrades to.
+
+    A scripted eval (distinguishing eval rounds via the fold_in key the
+    runner passes) latches cell 0 at the FIRST eval while cell 1 holds out
+    until the SECOND, so training continues past cell 0's latch. The
+    solved checkpoint must then be bitwise the params an independent
+    2-update multiseed loop produces, and differ from the final state."""
+    from autonomous_quadrotor_environment_tpu.apps import stacked as st
+    from autonomous_quadrotor_environment_tpu.utils import load_params
+
+    seeds = [0, 3]
+    first_eval_keys = jax.random.key_data(
+        jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+            jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.int32)), 2
+        )
+    )
+
+    def fake_eval_factory(model, env_cfg, episodes=None):
+        def fake(params, keys):
+            is_first = jnp.all(jax.random.key_data(keys) == first_eval_keys)
+            solved = jnp.stack([1.0, jnp.where(is_first, 0.0, 1.0)])
+            return {
+                "eval_reward": jnp.ones(2),
+                "eval_solved": solved,
+                "eval_length": jnp.full(2, 10.0),
+            }
+
+        return fake
+
+    monkeypatch.setattr(st, "make_multiseed_eval_fn", fake_eval_factory)
+
+    cells = [
+        st.StackedCell(
+            seed=s,
+            csv_path=f"{tmp_path}/log_16_{s}.csv",
+            jsonl_path=f"{tmp_path}/train_16_{s}.jsonl",
+            ckpt_path=f"{tmp_path}/nn_final_16_{s}.msgpack",
+            solved_ckpt_path=f"{tmp_path}/nn_solved_16_{s}.msgpack",
+        )
+        for s in seeds
+    ]
+    st.run_stacked_study(
+        cells, ENV, PPO, TRAIN, updates=4, eval_every=2, eval_episodes=4,
+        solved_threshold=0.95,
+    )
+
+    # Ground truth: params after exactly 2 updates, same seeds/config.
+    model, tx, state = multiseed_init(seeds, ENV, PPO, TRAIN)
+    loop = jax.jit(make_multiseed_train_loop(model, tx, ENV, PPO, TRAIN, inner=2))
+    state2, _ = loop(state)
+
+    tmpl0 = seed_slice(state2.params, 0)
+    snap0 = load_params(cells[0].solved_ckpt_path, tmpl0)
+    tree_allclose(snap0, tmpl0, rtol=0, atol=0)  # saved AT the latch
+    final0 = load_params(cells[0].ckpt_path, tmpl0)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(snap0), jax.tree.leaves(final0))
+    )  # training continued past the latch; final differs
+    # cell 1 latched at the LAST eval: snapshot == final there.
+    tmpl1 = seed_slice(state2.params, 1)
+    snap1 = load_params(cells[1].solved_ckpt_path, tmpl1)
+    final1 = load_params(cells[1].ckpt_path, tmpl1)
+    tree_allclose(snap1, final1, rtol=0, atol=0)
