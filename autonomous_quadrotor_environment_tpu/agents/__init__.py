@@ -15,6 +15,7 @@ from .ppo import (
     Rollout,
     evaluate,
     make_eval_fn,
+    make_forensic_eval_fn,
     make_train_loop,
     make_train_step,
     ppo_init,
@@ -30,6 +31,7 @@ __all__ = [
     "evaluate",
     "gae_advantages",
     "make_eval_fn",
+    "make_forensic_eval_fn",
     "make_injectable_optimizer",
     "make_multiseed_eval_fn",
     "make_multiseed_train_loop",

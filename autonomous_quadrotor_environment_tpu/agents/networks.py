@@ -81,9 +81,12 @@ class ActorCritic(nn.Module):
             (self.hidden, self.hidden), 1, out_tanh=False, out_scale=1.0, dtype=self.dtype
         )
         if self.learn_std:
+            # f32 regardless of compute dtype (see landing/networks.py
+            # log_std: a bf16-stored scalar param silently freezes under
+            # small-lr Adam — bf16 ulp at log(0.1) is ~0.0156).
             self._log_std = self.param(
                 "log_std",
-                lambda _key: jnp.full((), math.log(self.action_std), self.dtype),
+                lambda _key: jnp.full((), math.log(self.action_std), jnp.float32),
             )
 
     def actor_mean(self, obs):

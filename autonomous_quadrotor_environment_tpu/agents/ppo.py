@@ -778,6 +778,90 @@ def make_eval_fn(model: ActorCritic, env_cfg: EnvConfig, episodes: int, max_step
     return eval_fn
 
 
+def make_forensic_eval_fn(
+    model: ActorCritic, env_cfg: EnvConfig, episodes: int, max_steps: int | None = None
+):
+    """Per-EPISODE diagnostic evaluation (VERDICT r4 next #3: explain the
+    ~57% robust-windy ceiling instead of averaging over it).
+
+    Same deterministic protocol as `make_eval_fn`, but returns one record
+    per episode instead of batch means: the episode's drawn severity and
+    domain perturbations (EnvState.dom, core/randomization.py — the
+    features the reference's robust_control randomizes,
+    quadrotor_env.py:97-109), the peak gust-target magnitude seen during
+    the episode, which criteria passed (strict solve / survival /
+    station-keeping), post-settle RMS velocity, and the fraction of steps
+    with the actor at its authority limit (any motor command |a| > 0.99 —
+    the tanh head and the motor model both saturate at |a| = 1,
+    core/dynamics.py:107).
+    """
+    max_steps = max_steps or env_cfg.max_steps
+    settle_steps = max_steps // 5
+
+    def eval_fn(params, key: jax.Array):
+        keys = jax.random.split(key, episodes)
+        env_states = jax.vmap(lambda k: hover.reset(k, env_cfg))(keys)
+        severity = env_states.dom.gust_scale
+        mass_factor = env_states.dom.mass_factor
+        kf_mean = jnp.mean(env_states.dom.kf_degrade, axis=-1)
+
+        def body(carry, i):
+            (states, finished, reward_sum, solved, length, v2_sum, v2_n,
+             sat_steps, peak_gust) = carry
+            mean, _v, _s = model.apply(params, states.hist)
+            active = ~finished
+            sat = jnp.any(jnp.abs(mean) > 0.99, axis=-1)
+            sat_steps = sat_steps + (sat & active).astype(jnp.float32)
+            states, out = jax.vmap(lambda s, a: hover.step(s, a, env_cfg))(states, mean)
+            peak_gust = jnp.maximum(
+                peak_gust,
+                jnp.linalg.norm(states.dom.gust_next, axis=-1) * active,
+            )
+            reward_sum = reward_sum + out.reward * active
+            solved = jnp.logical_or(solved, jnp.logical_and(out.solved, active))
+            length = length + active.astype(jnp.int32)
+            late = jnp.logical_and(active, i >= settle_steps)
+            vel2 = jnp.sum((states.x[:, 1:6:2] - states.vel_target) ** 2, axis=-1)
+            v2_sum = v2_sum + vel2 * late
+            v2_n = v2_n + late.astype(jnp.float32)
+            finished = jnp.logical_or(finished, out.done)
+            return (states, finished, reward_sum, solved, length, v2_sum, v2_n,
+                    sat_steps, peak_gust), None
+
+        b = episodes
+        init = (
+            env_states,
+            jnp.zeros(b, bool),
+            jnp.zeros(b, jnp.float32),
+            jnp.zeros(b, bool),
+            jnp.zeros(b, jnp.int32),
+            jnp.zeros(b, jnp.float32),
+            jnp.zeros(b, jnp.float32),
+            jnp.zeros(b, jnp.float32),
+            jnp.zeros(b, jnp.float32),
+        )
+        (states, finished, reward_sum, solved, length, v2_sum, v2_n,
+         sat_steps, peak_gust), _ = jax.lax.scan(init=init, f=body, xs=jnp.arange(max_steps))
+        rms_vel = jnp.sqrt(v2_sum / jnp.maximum(v2_n, 1.0))
+        survived = jnp.logical_or(solved, length >= max_steps)
+        station = jnp.logical_and(survived, rms_vel < 0.5)
+        return {
+            "severity": severity,
+            "mass_factor": mass_factor,
+            "kf_mean": kf_mean,
+            "peak_gust": peak_gust,
+            "solved": solved,
+            "survived": survived,
+            "station": station,
+            "rms_vel": rms_vel,
+            "length": length,
+            "reward": reward_sum,
+            "sat_frac": sat_steps / jnp.maximum(length.astype(jnp.float32), 1.0),
+        }
+
+    return eval_fn
+
+
 def evaluate(model, params, env_cfg: EnvConfig, episodes: int, key: jax.Array) -> dict:
     """Convenience one-shot (jitted) evaluation."""
     fn = jax.jit(make_eval_fn(model, env_cfg, episodes))

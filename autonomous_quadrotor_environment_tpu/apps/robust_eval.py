@@ -40,7 +40,57 @@ def build_parser():
     )
     p.add_argument("--episodes", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--forensic", type=str, default=None, metavar="OUT_JSON",
+        help="also run the per-episode diagnostic eval "
+        "(agents.make_forensic_eval_fn): per-episode severity, domain "
+        "draws, peak gust, criterion outcomes, and motor-saturation "
+        "fraction, over the windy env at full severity AND with per-"
+        "episode severity ~ U[0,1]; writes records + a failure taxonomy "
+        "to OUT_JSON (VERDICT r4 next #3)",
+    )
     return p
+
+
+def _taxonomy(rec: dict) -> dict:
+    """Classify episodes by the first criterion they fail and summarize the
+    diagnostic features per class."""
+    import numpy as np
+
+    solved = np.asarray(rec["solved"], dtype=float) > 0.5
+    survived = np.asarray(rec["survived"], dtype=float) > 0.5
+    station = np.asarray(rec["station"], dtype=float) > 0.5
+    classes = {
+        "solved_strict": solved,
+        "station_not_strict": station & ~solved,
+        "survived_not_station": survived & ~station,
+        "crashed": ~survived,
+    }
+    out = {}
+    for name, mask in classes.items():
+        n = int(mask.sum())
+        entry = {"n": n, "frac": round(n / len(solved), 4)}
+        if n:
+            for k in ("severity", "peak_gust", "sat_frac", "rms_vel", "mass_factor", "kf_mean"):
+                v = np.asarray(rec[k])[mask].astype(float)
+                entry[k] = {"mean": round(float(v.mean()), 4), "max": round(float(v.max()), 4)}
+            entry["length_mean"] = float(np.asarray(rec["length"])[mask].mean())
+        out[name] = entry
+    # Solve rate by severity quartile (informative for the sampled env).
+    sev = np.asarray(rec["severity"]).astype(float)
+    bins = {}
+    for lo in (0.0, 0.25, 0.5, 0.75):
+        m = (sev >= lo) & (sev < lo + 0.25 + (lo == 0.75) * 1e-6)
+        if m.sum():
+            bins[f"[{lo:.2f},{lo + 0.25:.2f})"] = {
+                "n": int(m.sum()),
+                "solved": round(float(solved[m].mean()), 4),
+                "station": round(float(station[m].mean()), 4),
+                "survived": round(float(survived[m].mean()), 4),
+                "sat_frac_mean": round(float(np.asarray(rec["sat_frac"])[m].mean()), 4),
+            }
+    out["by_severity_quartile"] = bins
+    return out
 
 
 def main(argv=None) -> dict:
@@ -74,6 +124,33 @@ def main(argv=None) -> dict:
             out = {k: float(v) for k, v in eval_fn(params, key).items()}
             table[f"{pol_name}/{env_name}"] = out
     print(json.dumps(table, indent=2))
+
+    if args.forensic:
+        from ..agents import make_forensic_eval_fn
+
+        pol_name = "robust" if "robust" in policies else "nominal"
+        pol_model, params = policies[pol_name]
+        forensic = {"policy": pol_name, "episodes": args.episodes, "seed": args.seed}
+        forensic_envs = {
+            "windy_full": EnvConfig(
+                n_steps=1000, randomization=RandomizationConfig(enabled=True)
+            ),
+            "windy_sampled": EnvConfig(
+                n_steps=1000,
+                randomization=RandomizationConfig(enabled=True, severity_sample=True),
+            ),
+        }
+        for env_name, cfg in forensic_envs.items():
+            fn = jax.jit(make_forensic_eval_fn(pol_model, cfg, episodes=args.episodes))
+            rec = {k: [round(float(x), 5) for x in v] for k, v in fn(params, key).items()}
+            forensic[env_name] = {"taxonomy": _taxonomy(rec), "records": rec}
+        import os
+
+        os.makedirs(os.path.dirname(args.forensic) or ".", exist_ok=True)
+        with open(args.forensic, "w") as f:
+            json.dump(forensic, f, indent=1)
+        for env_name in forensic_envs:
+            print(env_name, json.dumps(forensic[env_name]["taxonomy"], indent=1))
     return table
 
 

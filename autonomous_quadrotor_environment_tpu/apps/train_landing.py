@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
         "contiguous-slice fast path); 1 = the reference's exact per-row "
         "randperm (ppo_trainer.py:188-197)",
     )
+    p.add_argument(
+        "--reshuffle-update", action="store_true",
+        help="re-randomize minibatch composition once per update (single "
+        "full-batch row gather before the K epochs; see "
+        "PPOConfig.reshuffle_per_update) — fresh composition per update "
+        "while keeping block == minibatch contiguous slices in the epochs",
+    )
     p.add_argument("--out", type=str, default="runs/landing")
     p.add_argument("--resume", type=str, default=None,
                    help="landing checkpoint to continue from (the reference "
@@ -94,10 +101,12 @@ def main(argv=None) -> dict:
     ctrl_model, ctrl_params = load_controller(args.controller, args.controller_size)
     cfgs = LandingConfigs.default(training=True)
     ppo_cfg = PPOConfig.landing_variant()
-    if args.shuffle_block >= 0:
-        import dataclasses
+    import dataclasses
 
+    if args.shuffle_block >= 0:
         ppo_cfg = dataclasses.replace(ppo_cfg, shuffle_block=args.shuffle_block)
+    if args.reshuffle_update:
+        ppo_cfg = dataclasses.replace(ppo_cfg, reshuffle_per_update=True)
     import jax.numpy as jnp
 
     conv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.conv_dtype]
@@ -163,6 +172,11 @@ def main(argv=None) -> dict:
     jsonl = JSONLLogger(f"{args.out}/train_landing_{args.seed}.jsonl")
     t0 = time.time()
     last_eval = {}
+    # Best-eval checkpoint (the reference saves the solved network the
+    # moment it solves, controller/ppo.py:428-429; PPO can degrade after
+    # peaking, so keep the best (solved, reward) params alongside the
+    # rolling final-state checkpoint).
+    best = (-1.0, float("-inf"))
     i = 0  # updates completed
     while i < args.updates:
         if train_loop is not None and args.updates - i >= inner:
@@ -184,8 +198,14 @@ def main(argv=None) -> dict:
                 f"decisions/s {i * args.num_envs * args.rollout_steps / (time.time() - t0):7.0f}"
             )
             save_params(f"{args.out}/PPO_landing_{args.seed}.msgpack", state.params)
+            score = (last_eval["eval_solved"], last_eval["eval_reward"])
+            if score > best:
+                best = score
+                save_params(
+                    f"{args.out}/PPO_landing_best_{args.seed}.msgpack", state.params
+                )
     save_params(f"{args.out}/PPO_landing_{args.seed}.msgpack", state.params)
-    return {"final_eval": last_eval, "wall_s": time.time() - t0}
+    return {"final_eval": last_eval, "best_eval_solved": best[0], "wall_s": time.time() - t0}
 
 
 if __name__ == "__main__":

@@ -291,6 +291,15 @@ class PPOConfig:
     # e.g. many tiny minibatches). Ignored under grad clipping, non-adam
     # optimizers, or the dp grad-reduction path.
     fused_adam: bool = False
+    # Re-randomize minibatch composition ONCE per update: a single full-batch
+    # row permutation (one gather) before the K epochs, after which
+    # block == minibatch minibatches are contiguous slices. Restores fresh
+    # random composition every update (vs FROZEN composition when
+    # shuffle_block == minibatch, which splits the step-major rollout into
+    # temporally-correlated fixed halves) at ~1/K the per-epoch gather cost.
+    # Middle ground between the reference's per-epoch randperm
+    # (ppo_trainer.py:188-197) and the round-4 contiguous-slice fast path.
+    reshuffle_per_update: bool = False
 
     @staticmethod
     def landing_variant() -> "PPOConfig":

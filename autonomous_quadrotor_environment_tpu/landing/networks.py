@@ -25,9 +25,19 @@ from flax import linen as nn
 
 
 class ConvTrunk(nn.Module):
-    """84x84x3 -> 768 feature vector (reference conv_forward :62-96)."""
+    """84x84x3 -> 768 feature vector (reference conv_forward :62-96).
+
+    ``space_to_depth``: fold 4x4 pixel blocks into channels before the
+    first conv — (84,84,3) -> (21,21,48) with an 8x8/stride-4 conv becoming
+    a 2x2/stride-1 conv. Mathematically ISOMORPHIC (the kernel is the same
+    weights under a fixed permutation; pinned in tests/test_landing.py),
+    but the MXU sees 48 input channels instead of 3 against its 128-lane
+    contraction padding. TPU-standard first-layer trick for small-channel
+    images.
+    """
 
     dtype: jnp.dtype = jnp.float32
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, img):  # (..., 84, 84, 3)
@@ -36,7 +46,15 @@ class ConvTrunk(nn.Module):
             dtype=self.dtype,
             kernel_init=nn.initializers.orthogonal(math.sqrt(2.0)),
         )
-        x = jnp.tanh(nn.Conv(64, (8, 8), strides=(4, 4), **kw)(img))
+        if self.space_to_depth:
+            from einops import rearrange
+
+            x = rearrange(
+                img, "... (h p1) (w p2) c -> ... h w (p1 p2 c)", p1=4, p2=4
+            )
+            x = jnp.tanh(nn.Conv(64, (2, 2), strides=(1, 1), **kw)(x))
+        else:
+            x = jnp.tanh(nn.Conv(64, (8, 8), strides=(4, 4), **kw)(img))
         x = jnp.tanh(nn.Conv(128, (4, 4), strides=(2, 2), **kw)(x))
         x = jnp.tanh(nn.Conv(128, (3, 3), strides=(1, 1), **kw)(x))
         x = x.reshape(x.shape[:-3] + (-1,))  # 7*7*128
@@ -101,12 +119,16 @@ class LandingActorCritic(nn.Module):
 
     action_std: float = 0.1
     conv_3d: bool = False   # stacked-frame variant (reference conv_3D flag)
+    conv_s2d: bool = False  # space-to-depth first conv (ConvTrunk docstring)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        trunk = ConvTrunk3D if self.conv_3d else ConvTrunk
-        self.conv_ac = trunk(dtype=self.dtype)
-        self.conv_ct = trunk(dtype=self.dtype)
+        if self.conv_3d:
+            self.conv_ac = ConvTrunk3D(dtype=self.dtype)
+            self.conv_ct = ConvTrunk3D(dtype=self.dtype)
+        else:
+            self.conv_ac = ConvTrunk(dtype=self.dtype, space_to_depth=self.conv_s2d)
+            self.conv_ct = ConvTrunk(dtype=self.dtype, space_to_depth=self.conv_s2d)
         self.actor_fc1 = nn.Dense(
             768, dtype=self.dtype, kernel_init=nn.initializers.orthogonal(math.sqrt(2.0))
         )
@@ -119,8 +141,16 @@ class LandingActorCritic(nn.Module):
         self.critic_out = nn.Dense(
             1, dtype=self.dtype, kernel_init=nn.initializers.orthogonal(1.0)
         )
+        # ALWAYS f32, never self.dtype: flax's `dtype` is the COMPUTE dtype
+        # (Conv/Dense master params stay f32 via param_dtype), and this
+        # directly-created param must match. Round-5 postmortem: with
+        # dtype=bf16 this param was stored in bf16, whose ~0.0156 ulp at
+        # log(0.1) swallows every lr=2e-5 Adam update — the learned std was
+        # silently FROZEN in every bf16 run since round 3 (the healthy f32
+        # fixture runs show entropy evolving -2.62 -> -2.18; the collapsed
+        # round-5 retrain sat at exactly -2.625 for 8000 updates).
         self.log_std = self.param(
-            "log_std", lambda _k: jnp.full((), math.log(self.action_std), self.dtype)
+            "log_std", lambda _k: jnp.full((), math.log(self.action_std), jnp.float32)
         )
 
     def actor(self, image, sens):

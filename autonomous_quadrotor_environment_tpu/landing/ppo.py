@@ -55,12 +55,17 @@ def landing_ppo_init(
     ctrl_model: Any,
     ctrl_params: Any,
     conv_dtype=jnp.float32,
+    conv_s2d: bool = False,
 ):
     """`conv_dtype=jnp.bfloat16` runs both conv trunks + heads in bf16
     compute (params stay f32; loss math upcasts at the model boundary) —
     the conv grad steps are MXU-bound at ~50% f32 MFU, so bf16 roughly
-    doubles their ceiling (measured in runs/r3/landing_opt.json)."""
-    model = LandingActorCritic(action_std=ppo_cfg.action_std, dtype=conv_dtype)
+    doubles their ceiling (measured in runs/r3/landing_opt.json).
+    `conv_s2d` folds 4x4 pixel blocks into channels before the first conv
+    (isomorphic weights; see ConvTrunk.space_to_depth)."""
+    model = LandingActorCritic(
+        action_std=ppo_cfg.action_std, dtype=conv_dtype, conv_s2d=conv_s2d
+    )
     k_model, k_envs, k_state = jax.random.split(key, 3)
     params = model.init(
         k_model, jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)), jnp.zeros((1, 3))
@@ -268,7 +273,10 @@ def make_landing_train_step(
         if n % block != 0 or mb % block != 0:
             block = 1
         full_batch = n_mb == 1 and mb >= n
-        if not full_batch and block == mb:
+        reshuffle = (
+            getattr(ppo_cfg, "reshuffle_per_update", False) and not full_batch
+        )
+        if not full_batch and block == mb and not reshuffle:
             # ADVICE r4: with block == minibatch the per-row shuffle
             # degenerates to FIXED minibatch compositions whose order
             # permutes per epoch — a semantics change vs the reference's
@@ -281,6 +289,18 @@ def make_landing_train_step(
                 f"landing PPO: shuffle_block == minibatch ({mb}) -> frozen "
                 "minibatch composition (only block order permutes per epoch)",
                 flush=True,
+            )
+
+        if reshuffle:
+            # One full-batch row gather per UPDATE (fresh minibatch
+            # composition each update; frozen only within this update's K
+            # epochs). The K per-epoch gathers below then stay contiguous
+            # block slices when block == minibatch.
+            k_upd, k_shuf = jax.random.split(k_upd)
+            perm0 = jax.random.permutation(k_shuf, n)
+            images, sens, actions, old_lp, rets, adv = (
+                jnp.take(x, perm0, axis=0)
+                for x in (images, sens, actions, old_lp, rets, adv)
             )
 
         def epoch(carry, epoch_key):

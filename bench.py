@@ -36,18 +36,29 @@ BASELINE_STEPS_PER_S = 300.0  # reference end-to-end (BASELINE.md)
 # (VERDICT r2 weak #4: "no MFU/roofline context in the bench").
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_PEAK_HBM_BYTES = 819e9
+# v5e VPU elementwise rate and tanh lowering cost, from the round-3 floor
+# analysis (docs/PERF.md round-3: the fused update kernel is VPU-bound —
+# bf16 matmul operands change NOTHING; the per-tile time matches the VPU-op
+# count, not the MXU FLOP count). tanh has no hardware unit: Mosaic/XLA
+# lower it to ~7 VPU ops.
+V5E_PEAK_VPU_OPS = 1.9e12
+TANH_VPU_OPS = 7.0
 
 
 def _roofline(compiled, dt_per_update: float, platform: str) -> dict | None:
     """XLA's own cost model for the compiled step: FLOPs + HBM bytes per
     update, and (on TPU) % of v5e peak each implies. A small-MLP PPO update
-    is expected to be HBM-bound, not MXU-bound — docs/PERF.md derives why."""
+    is expected to be HBM- or VPU-bound, not MXU-bound — docs/PERF.md
+    derives why; the transcendental (tanh) term carries that explanation
+    into the artifact (VERDICT r4 next #7: a bare "3% MXU" reads as waste
+    when the kernel is actually at its VPU floor)."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, list):  # older jax returns [dict]
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         traffic = float(ca.get("bytes accessed", 0.0))
+        trans = float(ca.get("transcendentals", 0.0))
     except Exception:
         return None
     if flops <= 0.0:
@@ -55,13 +66,47 @@ def _roofline(compiled, dt_per_update: float, platform: str) -> dict | None:
     out = {
         "flops_per_update": flops,
         "hbm_bytes_per_update": traffic,
+        "transcendentals_per_update": trans,
         "model_tflops_per_s": round(flops / dt_per_update / 1e12, 3),
         "hbm_gb_per_s": round(traffic / dt_per_update / 1e9, 1),
     }
     if platform == "tpu":
         out["mxu_util_pct"] = round(100 * flops / dt_per_update / V5E_PEAK_BF16_FLOPS, 2)
         out["hbm_util_pct"] = round(100 * traffic / dt_per_update / V5E_PEAK_HBM_BYTES, 1)
+        # Transcendental VPU load alone (cost model sees only XLA ops, not
+        # inside pallas_call custom calls — the fused kernels add their own
+        # analytic floor, see _fused_update_vpu_floor).
+        out["vpu_trans_util_pct"] = round(
+            100 * trans * TANH_VPU_OPS / dt_per_update / V5E_PEAK_VPU_OPS, 1
+        )
     return out
+
+
+def _fused_update_vpu_floor(
+    rows: int, k_epochs: int, hidden: int, dt_per_update: float
+) -> dict:
+    """Analytic VPU floor of the fused PPO update kernel (ops/ppo_fused_t),
+    hoisted from docs/PERF.md round-3c into the certified artifact.
+
+    XLA's cost model cannot see inside a pallas_call, so the headline
+    mxu_util_pct alone misreads the step as idle silicon. The kernel's
+    real bound: every row passes fwd+bwd once per epoch; per row-pass the
+    VPU executes ~4*hidden tanh (actor+critic, 2 layers each; ~7 VPU ops
+    per tanh — tanh is the reference's activation, not negotiable) plus
+    ~8*hidden backward/loss elementwise ops. The dots run on the MXU in
+    parallel and are not the bound (bf16 operands measured: no change,
+    runs/r3/bf16_probe.json). Round-3c trace: 2.73 us per 1024-row tile,
+    84% of the 66.4 ms device step — matching this floor, i.e. the kernel
+    is at its practical speed of light for this op mix.
+    """
+    row_passes = float(rows) * k_epochs
+    vpu_ops = row_passes * (4.0 * hidden * TANH_VPU_OPS + 8.0 * hidden)
+    floor_s = vpu_ops / V5E_PEAK_VPU_OPS
+    return {
+        "update_kernel_vpu_ops_per_update": vpu_ops,
+        "update_kernel_vpu_floor_ms": round(floor_s * 1e3, 2),
+        "vpu_util_pct": round(100 * floor_s / dt_per_update, 1),
+    }
 
 
 def bench_controller(platform: str) -> dict:
@@ -137,12 +182,20 @@ def bench_controller(platform: str) -> dict:
     float(metrics["loss"][-1])
     dt = time.perf_counter() - t0
     steps_per_s = n_outer * n_iters * num_envs * rollout_steps / dt
+    roofline = _roofline(compiled, dt / (n_outer * n_iters), platform)
+    if roofline is not None and fused:
+        roofline.update(
+            _fused_update_vpu_floor(
+                num_envs * rollout_steps, ppo_cfg.k_epochs, 128,
+                dt / (n_outer * n_iters),
+            )
+        )
     return {
         "metric": "ppo_train_env_steps_per_s",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
-        "roofline": _roofline(compiled, dt / (n_outer * n_iters), platform),
+        "roofline": roofline,
     }
 
 

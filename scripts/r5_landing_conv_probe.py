@@ -1,0 +1,105 @@
+"""Round-5 landing conv-MXU probe (VERDICT r4 next #2).
+
+The round-4 committed landing profile predates bf16 conv + the gather
+kill, and the "conv-bound at ~50% ceiling" claim was an inference. This
+script (a) re-traces the CURRENT product-config step with jax.profiler
+(committed under docs/profile/landing_r5/), and (b) measures the two
+conv levers on the full train step:
+
+  - space-to-depth first conv (ConvTrunk.space_to_depth: isomorphic
+    weights, 48 input channels instead of 3 against the MXU's 128-lane
+    contraction padding; pinned in tests/test_landing.py)
+  - batch 256 vs 128 (the round-4 B=256 rider measured 42.5k — decide
+    the bench shape with data)
+
+Grid: {plain, s2d} x {B=128, B=256} at the product config (uint8 images,
+bf16 conv, shuffle_block = minibatch), scanned loop of 3, amortized
+fence. Writes runs/r5/landing_conv_probe.json.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from autonomous_quadrotor_environment_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from autonomous_quadrotor_environment_tpu.apps.train_landing import load_controller
+from autonomous_quadrotor_environment_tpu.config import PPOConfig
+from autonomous_quadrotor_environment_tpu.landing.env import LandingConfigs
+from autonomous_quadrotor_environment_tpu.landing.ppo import (
+    landing_ppo_init,
+    make_landing_train_loop,
+)
+
+FIXTURE_CTRL = (
+    "autonomous_quadrotor_environment_tpu/fixtures/nn_solved_128_0.msgpack"
+)
+OUT = "runs/r5/landing_conv_probe.json"
+TRACE_DIR = "docs/profile/landing_r5"
+
+
+def build_loop(cfgs, ctrl_model, ctrl_params, B, T, inner, s2d):
+    ppo_cfg = PPOConfig.landing_variant()
+    model, tx, state = landing_ppo_init(
+        jax.random.PRNGKey(0), cfgs, ppo_cfg, B, ctrl_model, ctrl_params,
+        conv_dtype=jnp.bfloat16, conv_s2d=s2d,
+    )
+    loop = jax.jit(
+        make_landing_train_loop(
+            model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, T, inner,
+            image_dtype=jnp.uint8,
+        )
+    )
+    return loop, state
+
+
+def time_loop(loop, state, B, T, inner, n_outer=2):
+    state, m = loop(state)
+    float(m["loss"][-1])  # compile + warm
+    t0 = time.time()
+    for _ in range(n_outer):
+        state, m = loop(state)
+    float(m["loss"][-1])
+    dt = (time.time() - t0) / (n_outer * inner)
+    return {
+        "ms_per_update": round(dt * 1e3, 1),
+        "decisions_per_s": round(B * T / dt, 0),
+    }, state
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    T, inner = 24, 3
+    ctrl_model, ctrl_params = load_controller(FIXTURE_CTRL, 128)
+    cfgs = LandingConfigs.default(training=True)
+    os.makedirs("runs/r5", exist_ok=True)
+    res = {}
+
+    def flush():
+        with open(OUT, "w") as f:
+            json.dump(res, f, indent=2)
+
+    for s2d in (False, True):
+        for B in (128, 256):
+            key = f"{'s2d' if s2d else 'plain'}_B{B}"
+            loop, state = build_loop(cfgs, ctrl_model, ctrl_params, B, T, inner, s2d)
+            res[key], state = time_loop(loop, state, B, T, inner)
+            print(json.dumps({key: res[key]}), flush=True)
+            flush()
+            # Fresh profiler trace of the PRODUCT config (plain, B=128).
+            if not s2d and B == 128:
+                os.makedirs(TRACE_DIR, exist_ok=True)
+                with jax.profiler.trace(TRACE_DIR):
+                    state, m = loop(state)
+                    float(m["loss"][-1])
+                print(f"trace written to {TRACE_DIR}", flush=True)
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,20 +47,20 @@ def _parse(stdout: str) -> dict:
     raise AssertionError(f"no RESULT line in worker output:\n{stdout}")
 
 
-def _run_single() -> dict:
+def _run_single(path: str) -> dict:
     proc = subprocess.run(
-        [sys.executable, WORKER, "single", "0", "0", "1"],
+        [sys.executable, WORKER, "single", "0", "0", "1", path],
         capture_output=True, text=True, timeout=TIMEOUT, env=_env(4), cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     return _parse(proc.stdout)
 
 
-def test_two_process_dp_matches_single_process():
+def _run_dist(path: str) -> list[dict]:
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, "dist", str(port), str(rank), "2"],
+            [sys.executable, WORKER, "dist", str(port), str(rank), "2", path],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=_env(2), cwd=REPO,
         )
@@ -79,8 +79,16 @@ def test_two_process_dp_matches_single_process():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return outs
 
-    single = _run_single()
+
+@pytest.mark.parametrize("path", ["state", "landing"])
+def test_two_process_dp_matches_single_process(path):
+    """state: plain dp PPO step. landing: the scanned landing dp train loop
+    under uint8 image storage — exactly the protocol the reference's
+    mother/children implemented (rl_worker.py:267-342), VERDICT r4 next #5."""
+    outs = _run_dist(path)
+    single = _run_single(path)
 
     # Both ranks observed the same replicated state...
     assert outs[0]["checksum"] == pytest.approx(outs[1]["checksum"], rel=0, abs=0)
@@ -90,3 +98,24 @@ def test_two_process_dp_matches_single_process():
     # arithmetic is deterministic).
     assert outs[0]["loss"] == pytest.approx(single["loss"], rel=1e-6)
     assert outs[0]["checksum"] == pytest.approx(single["checksum"], rel=1e-6)
+
+
+def test_two_process_multiseed_matches_single_process():
+    """Seed-sharded stacked train loop across 2 OS processes: each rank
+    holds 2 of the 4 seeds; merged per-seed checksums/losses must match the
+    single-process 4-device run (embarrassingly parallel — no collectives,
+    so per-seed streams cannot leak across ranks)."""
+    outs = _run_dist("multiseed")
+    single = _run_single("multiseed")
+
+    merged_ck: dict = {}
+    merged_loss: dict = {}
+    for o in outs:
+        merged_ck.update(o["per_seed_checksum"])
+        merged_loss.update(o["per_seed_loss"])
+    # All 4 seeds covered across the two ranks, none doubly owned.
+    assert sorted(merged_ck) == ["0", "1", "2", "3"]
+    assert sum(len(o["per_seed_checksum"]) for o in outs) == 4
+    for k in merged_ck:
+        assert merged_ck[k] == pytest.approx(single["per_seed_checksum"][k], rel=1e-6)
+        assert merged_loss[k] == pytest.approx(single["per_seed_loss"][k], rel=1e-6)

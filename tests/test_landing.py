@@ -306,3 +306,37 @@ def test_landing_train_loop_matches_sequential_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
     for i, loss in enumerate(seq_losses):
         np.testing.assert_allclose(float(stacked["loss"][i]), loss, rtol=1e-4)
+
+
+def test_space_to_depth_trunk_is_isomorphic():
+    """ConvTrunk(space_to_depth=True) computes the SAME function as the
+    plain trunk when its 2x2x48 first-conv kernel is the plain 8x8x3 kernel
+    under the space-to-depth permutation (and all later layers share
+    weights) — the MXU-friendly layout changes arithmetic order only."""
+    from einops import rearrange
+
+    from autonomous_quadrotor_environment_tpu.landing.networks import ConvTrunk
+
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(jax.random.fold_in(key, 1), (2, 84, 84, 3))
+
+    plain = ConvTrunk()
+    p_plain = plain.init(key, img)
+    s2d = ConvTrunk(space_to_depth=True)
+    p_s2d = jax.tree.map(lambda x: x, s2d.init(key, img))
+
+    # Map the plain first-conv kernel (8,8,3,64) onto the s2d layout
+    # (2,2,48,64): kernel[4*di+p1, 4*dj+p2, c] -> kernel_s2d[di, dj, (p1 p2 c)].
+    k_plain = p_plain["params"]["Conv_0"]["kernel"]
+    k_s2d = rearrange(
+        k_plain, "(di p1) (dj p2) c o -> di dj (p1 p2 c) o", p1=4, p2=4
+    )
+    p_s2d = jax.tree.map(lambda x: x, p_plain)  # share every later layer
+    p_s2d["params"]["Conv_0"]["kernel"] = k_s2d
+    p_s2d["params"]["Conv_0"]["bias"] = p_plain["params"]["Conv_0"]["bias"]
+
+    out_plain = plain.apply(p_plain, img)
+    out_s2d = s2d.apply(p_s2d, img)
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_s2d), rtol=1e-5, atol=1e-5
+    )
