@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
         "randperm (ppo_trainer.py:188-197)",
     )
     p.add_argument(
+        "--reshuffle-epoch", action="store_true",
+        help="the reference's EXACT shuffle semantics at amortized cost: "
+        "one full-batch row randperm per epoch, minibatches = contiguous "
+        "chunks of it (PPOConfig.reshuffle_per_epoch)",
+    )
+    p.add_argument(
         "--reshuffle-update", action="store_true",
         help="re-randomize minibatch composition once per update (single "
         "full-batch row gather before the K epochs; see "
@@ -107,6 +113,8 @@ def main(argv=None) -> dict:
         ppo_cfg = dataclasses.replace(ppo_cfg, shuffle_block=args.shuffle_block)
     if args.reshuffle_update:
         ppo_cfg = dataclasses.replace(ppo_cfg, reshuffle_per_update=True)
+    if args.reshuffle_epoch:
+        ppo_cfg = dataclasses.replace(ppo_cfg, reshuffle_per_epoch=True)
     import jax.numpy as jnp
 
     conv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[args.conv_dtype]

@@ -300,6 +300,13 @@ class PPOConfig:
     # Middle ground between the reference's per-epoch randperm
     # (ppo_trainer.py:188-197) and the round-4 contiguous-slice fast path.
     reshuffle_per_update: bool = False
+    # EXACT reference shuffle semantics at amortized cost: one full-batch
+    # row permutation per EPOCH (the reference's randperm), after which
+    # minibatches are contiguous chunks of the permutation — the same
+    # distribution as gathering each minibatch from a randperm, but the
+    # data moves once per epoch instead of once per minibatch, and in
+    # uint8 that stream is ~1/4 the round-3 f32 gather.
+    reshuffle_per_epoch: bool = False
 
     @staticmethod
     def landing_variant() -> "PPOConfig":

@@ -276,7 +276,10 @@ def make_landing_train_step(
         reshuffle = (
             getattr(ppo_cfg, "reshuffle_per_update", False) and not full_batch
         )
-        if not full_batch and block == mb and not reshuffle:
+        reshuffle_epoch = (
+            getattr(ppo_cfg, "reshuffle_per_epoch", False) and not full_batch
+        )
+        if not full_batch and block == mb and not (reshuffle or reshuffle_epoch):
             # ADVICE r4: with block == minibatch the per-row shuffle
             # degenerates to FIXED minibatch compositions whose order
             # permutes per epoch — a semantics change vs the reference's
@@ -303,8 +306,21 @@ def make_landing_train_step(
                 for x in (images, sens, actions, old_lp, rets, adv)
             )
 
+        data0 = (images, sens, actions, old_lp, rets, adv)
+
         def epoch(carry, epoch_key):
             params, opt_state = carry
+            if reshuffle_epoch:
+                # The reference's exact shuffle semantics (per-epoch row
+                # randperm, minibatches = contiguous chunks of it,
+                # ppo_trainer.py:188-197) as ONE full-batch gather per
+                # epoch; the minibatch takes below then slice contiguously
+                # when block == minibatch.
+                k_perm, epoch_key = jax.random.split(epoch_key)
+                perm_rows = jax.random.permutation(k_perm, n)
+                data = tuple(jnp.take(x, perm_rows, axis=0) for x in data0)
+            else:
+                data = data0
             perm = jax.random.permutation(epoch_key, n // block)
 
             def minibatch(carry, idx):
@@ -319,8 +335,7 @@ def make_landing_train_step(
                     take = lambda x: jnp.take(x, idx, axis=0)
                 (loss, metrics), grads = jax.value_and_grad(
                     lambda p: landing_loss(
-                        model, p, take(images), take(sens), take(actions),
-                        take(old_lp), take(rets), take(adv), ppo_cfg,
+                        model, p, *(take(x) for x in data), ppo_cfg
                     ),
                     has_aux=True,
                 )(params)

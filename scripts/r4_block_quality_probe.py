@@ -20,6 +20,17 @@ candidate's last-4-point mean is not more than 0.05 below the ref's.
 
 Writes runs/r4/landing_block_quality.json. Reference being replaced:
 /root/reference/visual_landing/ppo_trainer.py:150-204 (minibatch loader).
+
+ROUND-5 POSTSCRIPT — this gate's conclusion did NOT survive a full
+training run. ADVICE r4 called the 0.5 max-drift threshold weak (~3x the
+whole reward range) and VERDICT r4 called 160 updates thin against an
+8000-update reality; both were right: from-scratch training under
+block == minibatch peaks at ~90% in-training / 74-81% on the official
+benchmark and collapses late (runs/r5/ablation/prod_s0), vs the per-row
+configs' 100%. Short-horizon same-seed curve gates measure "does it still
+learn AT THE START", not "does it converge"; convergence-affecting
+semantics changes need a full run to the official benchmark (which is how
+round 5 re-decided this default — see runs/r5/ablation/summary.json).
 """
 
 import dataclasses
