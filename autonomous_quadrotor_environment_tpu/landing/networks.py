@@ -114,6 +114,28 @@ class ImageHistory:
         return buf[jnp.asarray(times)]
 
 
+def params_to_s2d(params):
+    """Convert plain-ConvTrunk LandingActorCritic params to the
+    space-to-depth layout (ConvTrunk.space_to_depth): the 8x8x3 first-conv
+    kernels become 2x2x48 under the fixed block permutation. Outputs are
+    bitwise the same function (pinned in tests/test_landing.py), so
+    existing checkpoints/fixtures serve unchanged under the MXU-friendly
+    layout."""
+    from einops import rearrange
+
+    # Dict deep-copy preserving array leaves by reference.
+    def _copy(d):
+        return {k: _copy(v) if isinstance(v, dict) else v for k, v in d.items()}
+
+    out = _copy(params)
+    for trunk in ("conv_ac", "conv_ct"):
+        k = out["params"][trunk]["Conv_0"]["kernel"]
+        out["params"][trunk]["Conv_0"]["kernel"] = rearrange(
+            k, "(di p1) (dj p2) c o -> di dj (p1 p2 c) o", p1=4, p2=4
+        )
+    return out
+
+
 class LandingActorCritic(nn.Module):
     """(image, sens) -> (action mean (3,), q-value, log_std)."""
 

@@ -43,8 +43,12 @@ OUT = "runs/r5/landing_conv_probe.json"
 TRACE_DIR = "docs/profile/landing_r5"
 
 
-def build_loop(cfgs, ctrl_model, ctrl_params, B, T, inner, s2d):
+def build_loop(cfgs, ctrl_model, ctrl_params, B, T, inner, s2d, exact=False):
     ppo_cfg = PPOConfig.landing_variant()
+    if exact:
+        import dataclasses
+
+        ppo_cfg = dataclasses.replace(ppo_cfg, reshuffle_per_epoch=True)
     model, tx, state = landing_ppo_init(
         jax.random.PRNGKey(0), cfgs, ppo_cfg, B, ctrl_model, ctrl_params,
         conv_dtype=jnp.bfloat16, conv_s2d=s2d,
@@ -84,20 +88,34 @@ def main():
         with open(OUT, "w") as f:
             json.dump(res, f, indent=2)
 
-    for s2d in (False, True):
-        for B in (128, 256):
-            key = f"{'s2d' if s2d else 'plain'}_B{B}"
-            loop, state = build_loop(cfgs, ctrl_model, ctrl_params, B, T, inner, s2d)
-            res[key], state = time_loop(loop, state, B, T, inner)
-            print(json.dumps({key: res[key]}), flush=True)
-            flush()
-            # Fresh profiler trace of the PRODUCT config (plain, B=128).
-            if not s2d and B == 128:
-                os.makedirs(TRACE_DIR, exist_ok=True)
-                with jax.profiler.trace(TRACE_DIR):
-                    state, m = loop(state)
-                    float(m["loss"][-1])
-                print(f"trace written to {TRACE_DIR}", flush=True)
+    # (s2d, exact-reshuffle, batch) grid. "exact" = reshuffle_per_epoch:
+    # the reference's per-epoch randperm as one amortized gather — the
+    # quality-certified candidate from the round-5 ablation ladder; its
+    # cost over the frozen-composition fast path is the number to know.
+    grid = [
+        ("plain_B128", False, False, 128),
+        ("plain_B256", False, False, 256),
+        ("s2d_B128", True, False, 128),
+        ("s2d_B256", True, False, 256),
+        ("exact_B128", False, True, 128),
+        ("exact_B256", False, True, 256),
+        ("exact_s2d_B128", True, True, 128),
+        ("exact_s2d_B256", True, True, 256),
+    ]
+    for key, s2d, exact, B in grid:
+        loop, state = build_loop(
+            cfgs, ctrl_model, ctrl_params, B, T, inner, s2d, exact=exact
+        )
+        res[key], state = time_loop(loop, state, B, T, inner)
+        print(json.dumps({key: res[key]}), flush=True)
+        flush()
+        # Fresh profiler trace of the PRODUCT config (plain, B=128).
+        if key == "plain_B128":
+            os.makedirs(TRACE_DIR, exist_ok=True)
+            with jax.profiler.trace(TRACE_DIR):
+                state, m = loop(state)
+                float(m["loss"][-1])
+            print(f"trace written to {TRACE_DIR}", flush=True)
     print(json.dumps(res), flush=True)
 
 

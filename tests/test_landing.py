@@ -340,3 +340,27 @@ def test_space_to_depth_trunk_is_isomorphic():
     np.testing.assert_allclose(
         np.asarray(out_plain), np.asarray(out_s2d), rtol=1e-5, atol=1e-5
     )
+
+
+def test_params_to_s2d_full_model_equivalence():
+    """A plain checkpoint converted by params_to_s2d serves the SAME policy
+    under LandingActorCritic(conv_s2d=True)."""
+    from autonomous_quadrotor_environment_tpu.landing.networks import (
+        LandingActorCritic,
+        params_to_s2d,
+    )
+
+    key = jax.random.PRNGKey(3)
+    img = jax.random.uniform(jax.random.fold_in(key, 1), (2, 84, 84, 3))
+    sens = jax.random.normal(jax.random.fold_in(key, 2), (2, 75))
+
+    plain = LandingActorCritic()
+    p = plain.init(key, jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)), jnp.zeros((1, 3)))
+    s2d = LandingActorCritic(conv_s2d=True)
+    p2 = params_to_s2d(p)
+
+    m1, v1, s1 = plain.apply(p, img, sens)
+    m2, v2, s2 = s2d.apply(p2, img, sens)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=0, atol=0)
