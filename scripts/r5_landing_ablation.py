@@ -64,7 +64,15 @@ STAGES = [
     # a uint8/bf16 quality cost or run noise.
     ("f32_s0", ["--image-dtype", "f32", "--conv-dtype", "f32",
                 "--shuffle-block", "1", "--seed", "0"]),
-    ("prod_s1", ["--seed", "1"]),
+    # f32_s0 certified 99/98 (the shipped-fixture class) while every
+    # uint8+bf16 arm fell short regardless of shuffle semantics (frozen
+    # 74/81, blk128 89/94, exact best 55, perupd best 80) — the
+    # destabilizer is the reduced-precision stack, not the shuffle.
+    # Factorial isolation at the certified per-row shuffle:
+    ("bf16conv_s0", ["--image-dtype", "f32", "--conv-dtype", "bf16",
+                     "--shuffle-block", "1", "--seed", "0"]),
+    ("u8img_s0", ["--image-dtype", "uint8", "--conv-dtype", "f32",
+                  "--shuffle-block", "1", "--seed", "0"]),
 ]
 
 # If one of these full-speed candidate configs reaches this on the
@@ -72,7 +80,7 @@ STAGES = [
 # the remaining diagnosis stages are skipped (reference bar: 93.5%;
 # shipped fixture bar: 100%/98%).
 CERTIFY_SOLVED = 0.93
-CANDIDATES = ("prod_s0", "reshuf_s0", "exact_s0")
+CANDIDATES = ()  # factorial arms: both must run; no early break
 
 
 def load_summary() -> dict:

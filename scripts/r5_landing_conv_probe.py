@@ -43,20 +43,23 @@ OUT = "runs/r5/landing_conv_probe.json"
 TRACE_DIR = "docs/profile/landing_r5"
 
 
-def build_loop(cfgs, ctrl_model, ctrl_params, B, T, inner, s2d, exact=False):
+def build_loop(cfgs, ctrl_model, ctrl_params, B, T, inner, s2d, exact=False,
+               block=None, conv_dtype=jnp.bfloat16, image_dtype=jnp.uint8):
+    import dataclasses
+
     ppo_cfg = PPOConfig.landing_variant()
     if exact:
-        import dataclasses
-
         ppo_cfg = dataclasses.replace(ppo_cfg, reshuffle_per_epoch=True)
+    if block is not None:
+        ppo_cfg = dataclasses.replace(ppo_cfg, shuffle_block=block)
     model, tx, state = landing_ppo_init(
         jax.random.PRNGKey(0), cfgs, ppo_cfg, B, ctrl_model, ctrl_params,
-        conv_dtype=jnp.bfloat16, conv_s2d=s2d,
+        conv_dtype=conv_dtype, conv_s2d=s2d,
     )
     loop = jax.jit(
         make_landing_train_loop(
             model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, T, inner,
-            image_dtype=jnp.uint8,
+            image_dtype=image_dtype,
         )
     )
     return loop, state
@@ -93,18 +96,27 @@ def main():
     # quality-certified candidate from the round-5 ablation ladder; its
     # cost over the frozen-composition fast path is the number to know.
     grid = [
-        ("plain_B128", False, False, 128),
-        ("plain_B256", False, False, 256),
-        ("s2d_B128", True, False, 128),
-        ("s2d_B256", True, False, 256),
-        ("exact_B128", False, True, 128),
-        ("exact_B256", False, True, 256),
-        ("exact_s2d_B128", True, True, 128),
-        ("exact_s2d_B256", True, True, 256),
+        # key, s2d, exact, B, extra-kwargs
+        ("plain_B128", False, False, 128, {}),
+        ("plain_B256", False, False, 256, {}),
+        ("s2d_B128", True, False, 128, {}),
+        ("s2d_B256", True, False, 256, {}),
+        ("exact_B128", False, True, 128, {}),
+        ("exact_B256", False, True, 256, {}),
+        ("exact_s2d_B128", True, True, 128, {}),
+        ("exact_s2d_B256", True, True, 256, {}),
+        # quality-ladder finalists, eval-free clean timing:
+        ("f32_perrow_B128", False, False, 128,
+         dict(block=1, conv_dtype=jnp.float32, image_dtype=None)),
+        ("u8_blk128_B128", False, False, 128, dict(block=128)),
+        ("f32img_bf16conv_perrow_B128", False, False, 128,
+         dict(block=1, conv_dtype=jnp.bfloat16, image_dtype=None)),
+        ("f32_perrow_s2d_B128", True, False, 128,
+         dict(block=1, conv_dtype=jnp.float32, image_dtype=None)),
     ]
-    for key, s2d, exact, B in grid:
+    for key, s2d, exact, B, extra in grid:
         loop, state = build_loop(
-            cfgs, ctrl_model, ctrl_params, B, T, inner, s2d, exact=exact
+            cfgs, ctrl_model, ctrl_params, B, T, inner, s2d, exact=exact, **extra
         )
         res[key], state = time_loop(loop, state, B, T, inner)
         print(json.dumps({key: res[key]}), flush=True)
