@@ -46,19 +46,21 @@ def build_parser() -> argparse.ArgumentParser:
         "to --inner 1.",
     )
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0 = single)")
-    # The 42k-decisions/s TPU configuration IS the product default (VERDICT
-    # r4 weak #1: the fast mode must be reachable from the shipped trainer,
-    # not just bench.py). Every piece is quality-gated: uint8 rollout-image
-    # storage (runs/r3/landing_u8.json), bf16 conv compute
-    # (runs/r3/landing_opt.json), shuffle_block == minibatch
-    # (runs/r4/landing_block_quality.json + the round-5 from-scratch retrain
-    # to the official 100-episode benchmark, runs/r5/).
+    # Defaults are the round-5 CERTIFIED configuration (f32 rollout
+    # images + bf16 conv + the reference's per-row shuffle): a full
+    # from-scratch run under it scores 99%/98% on the official
+    # 100-episode benchmark with no late collapse
+    # (runs/r5/ablation/summary.json). The round-4 fast modes (uint8
+    # images, shuffle_block == minibatch) stay reachable via these flags,
+    # but every uint8 training arm fell short of certification at 8000
+    # updates (best 89%/94%) — see docs/PERF.md round 5 before using them
+    # for training that must converge.
     p.add_argument(
-        "--image-dtype", type=str, default="uint8",
+        "--image-dtype", type=str, default="f32",
         choices=("uint8", "bf16", "f32"),
-        help="rollout image storage dtype (uint8 quarters the update's "
-        "dominant HBM stream; pixels are [0,1] so the 1/255 grid loses "
-        "less than bf16's 8-bit mantissa)",
+        help="rollout image storage dtype. uint8 quarters the update's "
+        "dominant HBM stream but is run-to-run UNSTABLE over long "
+        "training (docs/PERF.md round 5); f32 is the certified default",
     )
     p.add_argument(
         "--conv-dtype", type=str, default="bf16", choices=("bf16", "f32"),
@@ -67,10 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--shuffle-block", type=int, default=-1,
         help="minibatch shuffle granularity in rows; -1 = "
-        "PPOConfig.landing_variant() default (1536 = minibatch: fixed "
-        "minibatch compositions whose order permutes per epoch — the "
-        "contiguous-slice fast path); 1 = the reference's exact per-row "
-        "randperm (ppo_trainer.py:188-197)",
+        "PPOConfig.landing_variant() default (1 = the reference's exact "
+        "per-row randperm, ppo_trainer.py:188-197 — the certified "
+        "config); 1536 (= minibatch) is the round-4 frozen-composition "
+        "fast path, which FAILED from-scratch certification",
     )
     p.add_argument(
         "--reshuffle-epoch", action="store_true",

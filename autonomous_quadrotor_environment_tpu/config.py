@@ -312,16 +312,19 @@ class PPOConfig:
     def landing_variant() -> "PPOConfig":
         """Visual-landing PPO (reference ppo_trainer.py:28-38, :122).
 
-        shuffle_block == minibatch_size (1536) is the shipped default: the
-        per-epoch minibatch image gather degenerates into a contiguous
-        slice (landing/ppo.py), 24.8k -> 42.0k decisions/s on TPU
-        (runs/r4/landing_block_probe.json). NOTE the semantics change vs
-        the reference's per-row randperm (ppo_trainer.py:188-197): with
-        block == minibatch only the ORDER of two fixed minibatches
-        permutes per epoch ("frozen-composition" minibatch PPO). Gated by
-        same-seed learning curves (runs/r4/landing_block_quality.json) and
-        re-certified by a full from-scratch training run to the official
-        100-episode benchmark in round 5 (runs/r5/).
+        shuffle_block=1 is the reference's exact per-row randperm
+        (ppo_trainer.py:188-197) and the round-5 CERTIFIED default: a full
+        from-scratch training run under it (f32 rollout images + bf16
+        conv) holds 100% in-training solved with no late collapse and
+        scores 99%/98% on the official 100-episode benchmark
+        (runs/r5/ablation/summary.json, arms f32_s0 / bf16conv_s0) — the
+        shipped-fixture class. The round-4 frozen-composition fast path
+        (shuffle_block == minibatch, 42k dec/s) FAILED that certification
+        (74%/81%, late collapse) despite passing its 160-update curve
+        gate, as did every uint8-image arm regardless of shuffle
+        semantics; those modes remain reachable via train_landing flags
+        with the risk documented. reshuffle_per_epoch offers the same
+        randperm distribution with the gather amortized to once per epoch.
         """
         return PPOConfig(
             lr=2e-5,
@@ -329,7 +332,7 @@ class PPOConfig:
             minibatch_size=1536,
             entropy_coef=0.01,
             learn_std=True,
-            shuffle_block=1536,
+            shuffle_block=1,
         )
 
 

@@ -214,16 +214,14 @@ def bench_landing(platform: str) -> list[dict]:
 
     num_envs, rollout = (128, 24) if platform == "tpu" else (8, 4)
     cfgs = LandingConfigs.default(training=True)
-    # PPOConfig.landing_variant() now carries shuffle_block = minibatch
-    # (1536) as the PRODUCT default (round 5; was bench-only in round 4):
-    # the per-minibatch image gather degenerates into a contiguous slice
-    # (landing/ppo.py) — the round-3 profile's ~42 ms gather stream
-    # disappears, 24.3k -> 40.3k decisions/s
-    # (runs/r4/landing_block_probe.json). The fixed-minibatch semantics are
-    # quality-gated in runs/r4/landing_block_quality.json and re-certified
-    # by the round-5 from-scratch retrain to the official benchmark
-    # (runs/r5/). This bench therefore measures exactly what
-    # `apps/train_landing.py` runs with no flags.
+    # PPOConfig.landing_variant() carries the round-5 CERTIFIED defaults:
+    # the reference's per-row shuffle (shuffle_block=1), f32 rollout
+    # images, bf16 conv. The round-4 42k-dec/s frozen-composition mode
+    # (uint8 + shuffle_block == minibatch) FAILED from-scratch
+    # certification on the official benchmark (74%/81% + late collapse vs
+    # this config's 99%/98%; runs/r5/ablation/summary.json, docs/PERF.md
+    # round 5), so the bench measures the configuration users should —
+    # and the shipped trainer does — actually train with.
     ppo_cfg = PPOConfig.landing_variant()
     ctrl = ActorCritic(hidden=128)
     tmpl = ctrl.init(jax.random.PRNGKey(0), jnp.zeros((1, 75)))
@@ -233,9 +231,9 @@ def bench_landing(platform: str) -> list[dict]:
     )
     ctrl_params = load_params(fixture, tmpl)
 
-    # bf16 conv compute + uint8-stored rollout images — the shipped
-    # train_landing defaults (--conv-dtype bf16 --image-dtype uint8);
-    # quality gates runs/r3/landing_opt.json + runs/r3/landing_u8.json;
+    # bf16 conv compute + f32-stored rollout images — the shipped
+    # train_landing defaults (--conv-dtype bf16 --image-dtype f32),
+    # certified end-to-end in runs/r5/ablation (bf16conv_s0: 99%/98%);
     # params/loss math stay f32.
     mixed = platform == "tpu"
     model, tx, state = landing_ppo_init(
@@ -251,17 +249,14 @@ def bench_landing(platform: str) -> list[dict]:
     loop = jax.jit(
         make_landing_train_loop(
             model, tx, cfgs, ppo_cfg, ctrl, ctrl_params, rollout, n_iters,
-            # uint8 image storage: quality gate runs/r3/landing_u8.json
-            # (learn-curve drift ~0.02); at block 1536 it edges bf16 and
-            # quarters the rollout buffer (runs/r4/landing_block_probe.json).
-            image_dtype=jnp.uint8 if mixed else None,
+            image_dtype=None,  # f32 rollout images (the certified default)
         )
     )
     compiled = (
         jax.jit(
             make_landing_train_step(
                 model, tx, cfgs, ppo_cfg, ctrl, ctrl_params, rollout,
-                image_dtype=jnp.uint8 if mixed else None,
+                image_dtype=None,
             )
         )
         .lower(state)

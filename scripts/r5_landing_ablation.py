@@ -73,6 +73,12 @@ STAGES = [
                      "--shuffle-block", "1", "--seed", "0"]),
     ("u8img_s0", ["--image-dtype", "uint8", "--conv-dtype", "f32",
                   "--shuffle-block", "1", "--seed", "0"]),
+    # Both factorial arms certified 99/98 — but they ALSO moved to the
+    # per-row shuffle, so the uint8+bf16 combination was never tested
+    # with it. The missing cell (and the fastest possible certified
+    # default if it passes):
+    ("u8bf16perrow_s0", ["--image-dtype", "uint8", "--conv-dtype", "bf16",
+                         "--shuffle-block", "1", "--seed", "0"]),
 ]
 
 # If one of these full-speed candidate configs reaches this on the

@@ -113,6 +113,14 @@ def main():
          dict(block=1, conv_dtype=jnp.bfloat16, image_dtype=None)),
         ("f32_perrow_s2d_B128", True, False, 128,
          dict(block=1, conv_dtype=jnp.float32, image_dtype=None)),
+        # f32 images + bf16 conv under the reference-exact amortized
+        # shuffle — the default candidate if the bf16conv factorial arm
+        # certifies (exact-1536 is distributionally identical to per-row,
+        # tests/test_landing instrumentation + landing/ppo.py).
+        ("f32img_bf16conv_exact_B128", False, True, 128,
+         dict(conv_dtype=jnp.bfloat16, image_dtype=None)),
+        ("f32img_bf16conv_exact_s2d_B128", True, True, 128,
+         dict(conv_dtype=jnp.bfloat16, image_dtype=None)),
     ]
     for key, s2d, exact, B, extra in grid:
         loop, state = build_loop(

@@ -99,10 +99,13 @@ def test_ppo_hyperparameters():
     # reference ppo_trainer.py:28-38
     assert lp.lr == 2e-5 and lp.k_epochs == 5 and lp.minibatch_size == 1536
     assert lp.entropy_coef == 0.01 and lp.learn_std
-    # round-5 product default: shuffle_block == minibatch (the contiguous-
-    # slice fast path; frozen minibatch composition, gated in
-    # runs/r4/landing_block_quality.json + the r5 retrain)
-    assert lp.shuffle_block == lp.minibatch_size == 1536
+    # round-5 CERTIFIED default: the reference's per-row randperm
+    # (ppo_trainer.py:188-197). The round-4 frozen-composition fast path
+    # (shuffle_block == minibatch) failed from-scratch certification on
+    # the official benchmark (runs/r5/ablation/summary.json) and is no
+    # longer the default.
+    assert lp.shuffle_block == 1
+    assert not lp.reshuffle_per_update and not lp.reshuffle_per_epoch
 
 
 def test_landing_reward_thresholds():
