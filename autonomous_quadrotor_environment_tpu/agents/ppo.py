@@ -761,8 +761,16 @@ def make_eval_fn(model: ActorCritic, env_cfg: EnvConfig, episodes: int, max_step
         )
         rms_vel = jnp.sqrt(v2_sum / jnp.maximum(v2_n, 1.0))
         # An episode "survives" if it solved or was never terminated early
-        # (bounding-box exits end episodes before the step budget).
-        survived = jnp.logical_or(solved, length >= max_steps)
+        # (bounding-box exits end episodes before the step budget). The
+        # env's step counter starts at `warmup` after reset, so its
+        # timeout fires after max_steps - warmup ACTIVE eval steps —
+        # round-5 fix: comparing against max_steps mislabeled every
+        # timeout-without-solve episode as non-survived (and therefore
+        # non-station-keeping), silently deflating the robust
+        # station-keeping rates (runs/r5/robust_forensic.json exposed it:
+        # "crashed" episodes with length == n_steps exactly).
+        survive_cut = max_steps - env_cfg.warmup
+        survived = jnp.logical_or(solved, length >= survive_cut)
         # Robust station-keeping solve (see apps/train_control --robust):
         # survive AND hold post-settle RMS velocity under 0.5 m/s.
         station = jnp.logical_and(survived, rms_vel < 0.5)
@@ -843,7 +851,8 @@ def make_forensic_eval_fn(
         (states, finished, reward_sum, solved, length, v2_sum, v2_n,
          sat_steps, peak_gust), _ = jax.lax.scan(init=init, f=body, xs=jnp.arange(max_steps))
         rms_vel = jnp.sqrt(v2_sum / jnp.maximum(v2_n, 1.0))
-        survived = jnp.logical_or(solved, length >= max_steps)
+        # Same warmup-adjusted survival cut as make_eval_fn (round-5 fix).
+        survived = jnp.logical_or(solved, length >= max_steps - env_cfg.warmup)
         station = jnp.logical_and(survived, rms_vel < 0.5)
         return {
             "severity": severity,

@@ -52,7 +52,13 @@ def main(argv=None) -> dict:
     results = {}
 
     if args.policy:
-        model = LandingActorCritic(dtype=jnp.dtype(args.conv_dtype))
+        from ..landing.networks import detect_s2d
+
+        # Checkpoint layout is self-describing (plain 8x8x3 first conv vs
+        # the space-to-depth 2x2x48 layout) — build the matching model.
+        model = LandingActorCritic(
+            dtype=jnp.dtype(args.conv_dtype), conv_s2d=detect_s2d(args.policy)
+        )
         template = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)),
             jnp.zeros((1, 3)),

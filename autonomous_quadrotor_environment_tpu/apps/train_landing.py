@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
         "fast path, which FAILED from-scratch certification",
     )
     p.add_argument(
+        "--conv-s2d", action="store_true",
+        help="space-to-depth first conv (isomorphic weights, 48 input "
+        "channels vs 3 against the MXU 128-lane padding; ~12-14%% faster "
+        "step — runs/r5/landing_conv_probe.json). Checkpoints trained "
+        "with it use the s2d kernel layout; landing.networks.params_to_s2d "
+        "converts plain checkpoints",
+    )
+    p.add_argument(
         "--reshuffle-epoch", action="store_true",
         help="the reference's EXACT shuffle semantics at amortized cost: "
         "one full-batch row randperm per epoch, minibatches = contiguous "
@@ -142,6 +150,7 @@ def main(argv=None) -> dict:
         model, tx, state = landing_ppo_init_sharded(
             jax.random.PRNGKey(args.seed), cfgs, ppo_cfg, args.num_envs,
             ctrl_model, ctrl_params, mesh, conv_dtype=conv_dtype,
+            conv_s2d=args.conv_s2d,
         )
         train_step = make_landing_parallel_train_step(
             model, tx, cfgs, ppo_cfg, ctrl_model, ctrl_params, args.rollout_steps,
@@ -156,6 +165,7 @@ def main(argv=None) -> dict:
         model, tx, state = landing_ppo_init(
             jax.random.PRNGKey(args.seed), cfgs, ppo_cfg, args.num_envs,
             ctrl_model, ctrl_params, conv_dtype=conv_dtype,
+            conv_s2d=args.conv_s2d,
         )
         train_step = jax.jit(
             make_landing_train_step(

@@ -60,10 +60,10 @@ def load_landing_policy():
     official 100-episode eval-mode benchmark (reference bar: 93.5%,
     rl_eval_worker.py / README.md:10).
     """
-    from ..landing.networks import LandingActorCritic
+    from ..landing.networks import LandingActorCritic, detect_s2d
     from ..utils import load_params
 
-    model = LandingActorCritic()
+    model = LandingActorCritic(conv_s2d=detect_s2d(LANDING_POLICY))
     template = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)),
         jnp.zeros((1, 3)),

@@ -114,6 +114,21 @@ class ImageHistory:
         return buf[jnp.asarray(times)]
 
 
+def detect_s2d(path: str) -> bool:
+    """Does a saved LandingActorCritic checkpoint use the space-to-depth
+    first-conv layout? Decided from the stored first-conv kernel shape
+    ((2,2,48,64) vs (8,8,3,64)) so callers can build the matching model
+    without a flag — old plain fixtures and new s2d checkpoints both load
+    transparently (apps/eval_landing.py, fixtures.load_landing_policy)."""
+    import numpy as np
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    k = np.asarray(tree["params"]["conv_ac"]["Conv_0"]["kernel"])
+    return k.shape[:2] == (2, 2)
+
+
 def params_to_s2d(params):
     """Convert plain-ConvTrunk LandingActorCritic params to the
     space-to-depth layout (ConvTrunk.space_to_depth): the 8x8x3 first-conv

@@ -31,6 +31,7 @@ def landing_ppo_init_sharded(
     ctrl_params,
     mesh: Mesh,
     conv_dtype=jnp.float32,
+    conv_s2d: bool = False,
 ):
     """Global batch `num_envs` sharded over the mesh's dp axis.
 
@@ -42,7 +43,9 @@ def landing_ppo_init_sharded(
     if num_envs % n_dp != 0:
         raise ValueError(f"num_envs={num_envs} not divisible by dp={n_dp}")
 
-    model = LandingActorCritic(action_std=ppo_cfg.action_std, dtype=conv_dtype)
+    model = LandingActorCritic(
+        action_std=ppo_cfg.action_std, dtype=conv_dtype, conv_s2d=conv_s2d
+    )
     k_model, k_envs, k_state = jax.random.split(key, 3)
     params = model.init(
         k_model, jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)), jnp.zeros((1, 3))

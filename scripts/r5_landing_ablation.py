@@ -79,6 +79,11 @@ STAGES = [
     # default if it passes):
     ("u8bf16perrow_s0", ["--image-dtype", "uint8", "--conv-dtype", "bf16",
                          "--shuffle-block", "1", "--seed", "0"]),
+    # Space-to-depth under the certified defaults (f32 img + bf16 conv +
+    # per-row): isomorphic weights, +~12-14%% step speed
+    # (runs/r5/landing_conv_probe.json); certified end-to-end here so the
+    # fast layout can ship as more than a flag.
+    ("s2d_cert_s0", ["--conv-s2d", "--seed", "0"]),
 ]
 
 # If one of these full-speed candidate configs reaches this on the
@@ -105,7 +110,7 @@ def save_summary(s: dict) -> None:
     os.replace(path + ".tmp", path)
 
 
-def official_benchmark(policy_path: str) -> dict:
+def official_benchmark(policy_path: str, s2d: bool = False) -> dict:
     """100-episode eval-mode benchmark on eval seeds 0 and 7, f32 conv."""
     import jax
     import jax.numpy as jnp
@@ -120,7 +125,7 @@ def official_benchmark(policy_path: str) -> dict:
 
     ctrl_model, ctrl_params = load_controller(CTRL, 128)
     cfgs = LandingConfigs.default(training=False)
-    model = LandingActorCritic()
+    model = LandingActorCritic(conv_s2d=s2d)
     template = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)),
         jnp.zeros((1, 3)),
@@ -163,7 +168,9 @@ def main() -> None:
         if res["best_eval_solved"] >= 0.9:
             best_path = f"{out_dir}/PPO_landing_best_{seed}.msgpack"
             print(f"== {name}: best {res['best_eval_solved']:.0%} -> official benchmark", flush=True)
-            entry["official_benchmark"] = official_benchmark(best_path)
+            entry["official_benchmark"] = official_benchmark(
+                best_path, s2d="--conv-s2d" in extra
+            )
         summary[name] = entry
         save_summary(summary)
         print(f"== {name}: done {json.dumps(entry)[:400]}", flush=True)

@@ -54,7 +54,15 @@ def test_robust_fixture_station_keeps_in_wind():
     cfg = EnvConfig(n_steps=1000, randomization=RandomizationConfig(enabled=True))
     eval_fn = jax.jit(make_eval_fn(model, cfg, episodes=16))
     out = eval_fn(params, jax.random.PRNGKey(3))
-    assert float(out["eval_station_keeping"]) >= 0.25, dict(out)
+    # Round-5 survival-cut fix (agents/ppo.py make_eval_fn): the env's step
+    # counter starts at warmup, so timeout episodes record length ==
+    # n_steps, not max_steps — before the fix every timeout-without-solve
+    # episode (a full-episode hover displaced by gusts) was mislabeled
+    # non-survived/non-station. The 256-episode TPU forensic
+    # (runs/r5/robust_forensic.json): station-keeping 94.5% at full
+    # severity, not the ~50% the bug reported.
+    assert float(out["eval_station_keeping"]) >= 0.7, dict(out)
+    assert float(out["eval_survived"]) >= float(out["eval_solved"]), dict(out)
     assert float(out["eval_rms_vel_late"]) < 0.5, dict(out)
 
 

@@ -364,3 +364,28 @@ def test_params_to_s2d_full_model_equivalence():
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=0, atol=0)
+
+
+def test_detect_s2d_layout():
+    """Checkpoint layout detection (plain vs space-to-depth first conv):
+    old fixtures report plain; an s2d-initialized checkpoint reports s2d."""
+    import os
+    import tempfile
+
+    from autonomous_quadrotor_environment_tpu.fixtures import LANDING_POLICY
+    from autonomous_quadrotor_environment_tpu.landing.networks import (
+        LandingActorCritic,
+        detect_s2d,
+    )
+    from autonomous_quadrotor_environment_tpu.utils import save_params
+
+    assert detect_s2d(LANDING_POLICY) is False
+    m = LandingActorCritic(conv_s2d=True)
+    p = m.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)), jnp.zeros((1, 75)),
+        jnp.zeros((1, 3)),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.msgpack")
+        save_params(path, p)
+        assert detect_s2d(path) is True
