@@ -75,12 +75,17 @@ def build_parser() -> argparse.ArgumentParser:
         "fast path, which FAILED from-scratch certification",
     )
     p.add_argument(
-        "--conv-s2d", action="store_true",
+        "--conv-s2d", action=argparse.BooleanOptionalAction, default=True,
         help="space-to-depth first conv (isomorphic weights, 48 input "
         "channels vs 3 against the MXU 128-lane padding; ~12-14%% faster "
-        "step — runs/r5/landing_conv_probe.json). Checkpoints trained "
-        "with it use the s2d kernel layout; landing.networks.params_to_s2d "
-        "converts plain checkpoints",
+        "step — runs/r5/landing_conv_probe.json). Default ON: a full "
+        "from-scratch run under the shipped defaults + s2d certifies "
+        "97%%/98%% on the official benchmark (runs/r5/ablation/"
+        "summary.json, arm s2d_cert_s0; the layout is a fixed kernel "
+        "permutation, so training is the plain run up to fp reordering). "
+        "Checkpoints store whichever layout trained them; --resume and the "
+        "eval/fixture loaders auto-detect and convert "
+        "(landing.networks.params_to_s2d / params_from_s2d)",
     )
     p.add_argument(
         "--reshuffle-epoch", action="store_true",
@@ -183,9 +188,22 @@ def main(argv=None) -> dict:
                 )
             )
     if args.resume:
-        params = load_params(args.resume, state.params)
+        from ..landing.networks import detect_s2d, params_from_s2d, params_to_s2d
+
+        ckpt_s2d = detect_s2d(args.resume)
+        if ckpt_s2d == args.conv_s2d:
+            params = load_params(args.resume, state.params)
+        elif args.conv_s2d:  # plain checkpoint -> s2d model (exact permutation)
+            params = params_to_s2d(
+                load_params(args.resume, params_from_s2d(state.params))
+            )
+        else:  # s2d checkpoint -> plain model
+            params = params_from_s2d(
+                load_params(args.resume, params_to_s2d(state.params))
+            )
         state = state.replace(params=params, opt_state=tx.init(params))
-        print(f"resumed from {args.resume}")
+        print(f"resumed from {args.resume}"
+              + (" (converted layout)" if ckpt_s2d != args.conv_s2d else ""))
     eval_fn = jax.jit(
         make_landing_eval_fn(model, cfgs, ctrl_model, ctrl_params, args.eval_episodes)
     )

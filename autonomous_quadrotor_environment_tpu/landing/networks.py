@@ -151,6 +151,24 @@ def params_to_s2d(params):
     return out
 
 
+def params_from_s2d(params):
+    """Inverse of :func:`params_to_s2d` — unfold the (2,2,48,64) s2d
+    first-conv kernels back to the plain (8,8,3,64) layout (same fixed
+    permutation, so round-tripping is bitwise)."""
+    from einops import rearrange
+
+    def _copy(d):
+        return {k: _copy(v) if isinstance(v, dict) else v for k, v in d.items()}
+
+    out = _copy(params)
+    for trunk in ("conv_ac", "conv_ct"):
+        k = out["params"][trunk]["Conv_0"]["kernel"]
+        out["params"][trunk]["Conv_0"]["kernel"] = rearrange(
+            k, "di dj (p1 p2 c) o -> (di p1) (dj p2) c o", p1=4, p2=4
+        )
+    return out
+
+
 class LandingActorCritic(nn.Module):
     """(image, sens) -> (action mean (3,), q-value, log_std)."""
 

@@ -231,14 +231,17 @@ def bench_landing(platform: str) -> list[dict]:
     )
     ctrl_params = load_params(fixture, tmpl)
 
-    # bf16 conv compute + f32-stored rollout images — the shipped
-    # train_landing defaults (--conv-dtype bf16 --image-dtype f32),
-    # certified end-to-end in runs/r5/ablation (bf16conv_s0: 99%/98%);
+    # bf16 conv compute + f32-stored rollout images + space-to-depth first
+    # conv — the shipped train_landing defaults (--conv-dtype bf16
+    # --image-dtype f32 --conv-s2d), certified end-to-end in
+    # runs/r5/ablation (bf16conv_s0: 99%/98%; s2d_cert_s0: 97%/98% — the
+    # s2d layout is a fixed kernel permutation of the same function);
     # params/loss math stay f32.
     mixed = platform == "tpu"
     model, tx, state = landing_ppo_init(
         jax.random.PRNGKey(0), cfgs, ppo_cfg, num_envs, ctrl, ctrl_params,
         conv_dtype=jnp.bfloat16 if mixed else jnp.float32,
+        conv_s2d=True,
     )
     # Measure the scanned multi-update loop (landing.make_landing_train_loop
     # = train_landing --inner): host dispatch is paid once per n_iters
